@@ -1,0 +1,221 @@
+"""The merge-apply primitive: change batch -> copy-on-write table upsert.
+
+Unifies the reference's eight Delta ``MERGE INTO`` statements (SURVEY.md
+§2.4, M1-M8; e.g. ``silver/cdf_processor.py:255-275`` in /root/reference)
+into one set-oriented DataFrame pipeline, fixing the catalogued defects:
+
+- **G1 (no intra-batch dedup)**: the reference's MERGE fails if one batch
+  carries two changes for a key; here every batch is first reduced to one
+  winner per key in total ``(lsn, op_ordinal)`` order.
+- **G7 (deletes dropped)**: ``D`` winners remove the key from the target.
+- **G5 (non-idempotent replay)**: the commit is stamped with an epoch id;
+  replaying an already-applied batch is a detected no-op.
+- **G2 (driver-side per-key loops)**: apply cost is one dedup + one
+  anti-join + one partition-scoped write, whatever the key count.
+
+Scale design (the part that must survive 100 TB / 10^10 events):
+
+- *Dedup* uses ``groupBy(keys).agg(max_by(row, order))`` — a hash
+  aggregate with map-side partial combine, so a hot conversation's
+  duplicate changes collapse inside each task BEFORE the shuffle, making
+  the reduce side skew-proof by construction. (A salted two-phase window
+  variant is kept for comparison; the agg plan beats it because a window
+  needs a full sort-shuffle of every change row.)
+- *Apply* touches only the hash-bucket partitions present in the batch
+  (`read_partitions` -> manifest-level pruning), so I/O scales with batch
+  footprint, not table size — the same shape as Iceberg copy-on-write
+  MERGE. The anti-join's build side is the deduped batch, which AQE
+  converts to a broadcast join at runtime when small.
+- The only driver-side materialization is the distinct *bucket id* list
+  (bounded by ``n_buckets``, never by keys or rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maritime_activity_reports_cdc_spark.sources.lake import EpochAlreadyApplied, LakeTable
+
+BUCKET_COL = "bucket"
+ENVELOPE_COLS = ("op", "lsn", "op_ordinal", "commit_ts")
+DEFAULT_KEYS = ("conv_id", "turn_idx")
+DEFAULT_ORDER = ("lsn", "op_ordinal")
+
+
+def bucket_expr(key_col: str | F.Column, n_buckets: int) -> F.Column:
+    """Deterministic hash bucket — the table partition transform
+    (Iceberg ``bucket(n, conv_id)`` analog). Doubles as the salt function
+    family (reference used ``F.hash`` for memo keys,
+    ``silver/streaming_processor.py:156-157``)."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def dedup_latest(
+    changes: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    order: tuple[str, ...] = DEFAULT_ORDER,
+    strategy: str = "agg",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """One winner per key in total change order (max-LSN dedup).
+
+    ``strategy='agg'`` (default): partial-aggregating ``max_by`` — the
+    scale-safe plan. ``strategy='window'``: the two-phase salted
+    ``row_number`` formulation from the design sketch (kept for the bench
+    comparison and as documentation of the skew fix for window plans).
+
+    At-least-once duplicates (same ``(lsn, op_ordinal)`` redelivered) are
+    absorbed here: identical order keys tie-break to a single identical
+    row either way.
+    """
+    key_cols = [F.col(k) for k in keys]
+    order_cols = [F.col(o) for o in order]
+    if strategy == "agg":
+        row = F.struct(*[F.col(c) for c in changes.columns])
+        won = changes.groupBy(*key_cols).agg(
+            F.max_by(row, F.struct(*order_cols)).alias("_winner")
+        )
+        return won.select("_winner.*")
+    if strategy == "window":
+        # Phase 1: reduce within (key, salt) slices — bounds any single
+        # window partition even for a mega-hot conversation.
+        salt = F.pmod(F.xxhash64(*order_cols), F.lit(salt_buckets)).alias("_salt")
+        salted = changes.withColumn("_salt", salt)
+        w1 = Window.partitionBy(*keys, "_salt").orderBy(*[c.desc() for c in order_cols])
+        phase1 = (
+            salted.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_salt")
+        )
+        # Phase 2: winner-of-winners (at most `salt_buckets` rows per key).
+        w2 = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_cols])
+        return (
+            phase1.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    raise ValueError(f"unknown dedup strategy {strategy!r}")
+
+
+@dataclass
+class ApplyResult:
+    epoch: int
+    applied: bool  # False => epoch was already committed (idempotent skip)
+    snapshot_version: int | None
+    lsn_min: int | None
+    lsn_max: int | None
+    n_keys: int
+    n_insert_update: int
+    n_delete: int
+    affected_buckets: list[int]
+    # per-bucket lineage rows: (bucket, n_upserts, n_deletes)
+    bucket_stats: list[tuple[int, int, int]]
+
+
+def apply_changes(
+    table: LakeTable,
+    changes: DataFrame,
+    epoch: int,
+    source: str = "changes",
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    order: tuple[str, ...] = DEFAULT_ORDER,
+    bucket_key: str = "conv_id",
+    dedup_strategy: str = "agg",
+    evolve_schema: bool = True,
+) -> ApplyResult:
+    """Apply one change batch (an epoch) to a bucket-partitioned table.
+
+    The target table must be partitioned by ``BUCKET_COL`` and carry
+    ``n_buckets`` in its properties (see ``plans/bronze.create_target``).
+    """
+    n_buckets = int(table.properties()["n_buckets"])
+    if table.last_epoch(source) >= epoch:
+        return ApplyResult(epoch, False, None, None, None, 0, 0, 0, [], [])
+
+    if evolve_schema:
+        _evolve_for_batch(table, changes, keys)
+    target_schema = table.schema()
+    target_cols = [f.name for f in target_schema.fields]
+
+    winners = dedup_latest(changes, keys, order, strategy=dedup_strategy)
+    winners = winners.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets))
+    winners = winners.persist()
+    try:
+        stats = (
+            winners.groupBy(BUCKET_COL)
+            .agg(
+                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("n_up"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+            )
+            .collect()
+        )
+        if not stats:
+            table.commit_epoch_noop(source, epoch, {"rows": 0})
+            return ApplyResult(
+                epoch, True, table.current_version(), None, None, 0, 0, 0, [], []
+            )
+        affected = sorted(int(r[BUCKET_COL]) for r in stats)
+        n_up = sum(r["n_up"] for r in stats)
+        n_del = sum(r["n_del"] for r in stats)
+        lsn_min = min(r["lsn_min"] for r in stats)
+        lsn_max = max(r["lsn_max"] for r in stats)
+
+        # Untouched rows of the affected buckets survive; changed keys are
+        # replaced by their winners (deletes simply emit nothing).
+        target_slice = table.read_partitions(affected)
+        survivors = target_slice.join(winners.select(*keys), list(keys), "left_anti")
+        upserts = winners.where(F.col("op") != "D").select(*target_cols)
+        merged = survivors.unionByName(upserts)
+
+        snap = table.replace_partitions(
+            merged,
+            summary={
+                "source": source,
+                "lsn_min": int(lsn_min),
+                "lsn_max": int(lsn_max),
+                "n_upserts": int(n_up),
+                "n_deletes": int(n_del),
+            },
+            epoch=(source, epoch),
+            partition_values=affected,
+        )
+        return ApplyResult(
+            epoch=epoch,
+            applied=True,
+            snapshot_version=snap.version,
+            lsn_min=int(lsn_min),
+            lsn_max=int(lsn_max),
+            n_keys=int(n_up + n_del),
+            n_insert_update=int(n_up),
+            n_delete=int(n_del),
+            affected_buckets=affected,
+            bucket_stats=[(int(r[BUCKET_COL]), int(r["n_up"]), int(r["n_del"])) for r in stats],
+        )
+    except EpochAlreadyApplied:
+        return ApplyResult(epoch, False, None, None, None, 0, 0, 0, [], [])
+    finally:
+        winners.unpersist()
+
+
+def _evolve_for_batch(table: LakeTable, changes: DataFrame, keys: tuple[str, ...]) -> None:
+    """Additive schema evolution: data columns present in the batch but
+    absent from the target become new nullable target columns (null
+    backfill for existing files is free — explicit-schema reads).
+    Generalizes the reference's ``mergeSchema`` opt-in (S6,
+    ``bronze/cdc_ingestion.py:59``) and null-init pattern (P9)."""
+    target_fields = {f.name for f in table.schema().fields}
+    skip = set(ENVELOPE_COLS) | {BUCKET_COL}
+    new = [
+        T.StructField(f.name, f.dataType, True)
+        for f in changes.schema.fields
+        if f.name not in target_fields and f.name not in skip
+    ]
+    if new:
+        table.add_columns(new)

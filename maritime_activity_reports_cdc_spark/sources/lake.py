@@ -1,0 +1,426 @@
+"""Snapshot-manifest lake table format (Iceberg-style, parquet-backed).
+
+The reference delegates table mechanics to Delta Lake (CDF, MERGE,
+OPTIMIZE — e.g. ``bronze/table_setup.py:72-80``, ``silver/cdf_processor.py:
+255-275`` in /root/reference). This engine owns those mechanics itself so
+the CDC semantics (exactly-once epochs, partition-scoped copy-on-write
+merge, additive schema evolution, time travel for lineage) are explicit
+and testable. The design mirrors Iceberg's public model:
+
+- a table = a chain of immutable **snapshot manifests** (JSON) listing the
+  parquet data files per partition value, plus a ``_current`` pointer
+  swapped atomically (``os.replace``);
+- every commit carries a **summary** dict; the engine stamps
+  ``epoch:<source>`` keys into it, giving idempotent exactly-once applies
+  (reference gap G5/T7 in SURVEY.md §4.3 — Delta MERGE replay of
+  non-idempotent branches double-applies);
+- **partition-level replace** (`replace_partitions`) is the primitive the
+  merge apply uses: only buckets touched by a change batch are rewritten,
+  like Iceberg copy-on-write ``MERGE INTO`` / Delta ``replaceWhere``;
+- **additive schema evolution**: the manifest owns the schema; readers
+  pass it explicitly so parquet files written before a column existed
+  null-backfill for free (reference pattern P9, ``bronze/cdc_ingestion.py:
+  158-166``, made automatic).
+
+Scale notes: data files are immutable and written by ONE distributed Spark
+job per commit (``partitionBy`` on a shadow key — no per-partition driver
+loop); the driver only lists filenames and swaps a pointer, exactly like
+an Iceberg commit. On a real deployment this class would be swapped for
+Iceberg's catalog (the engine API is format-agnostic); ``os.replace``
+stands in for the catalog's atomic CAS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_CURRENT = "_current"
+_SHADOW_PARTITION_COL = "__lake_part"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table between read and commit."""
+
+
+class EpochAlreadyApplied(RuntimeError):
+    """Commit for this (source, epoch) is already in the table history."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema_json: str
+    partition_by: str | None
+    # partition value (stringified, "" for unpartitioned) -> list of
+    # data-file paths relative to the table root.
+    files: dict[str, list[str]]
+    summary: dict[str, Any]
+    # source name -> highest epoch id committed (cumulative, O(1) lookup).
+    epochs: dict[str, int]
+    # table-level properties (e.g. n_buckets), carried forward on commit.
+    properties: dict[str, Any]
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def all_files(self) -> list[str]:
+        return [f for file_list in self.files.values() for f in file_list]
+
+
+class LakeTable:
+    """One table rooted at a local/posix directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_by: str | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        table = cls(spark, path)
+        os.makedirs(table._manifest_path(), exist_ok=True)
+        os.makedirs(table._data_path(), exist_ok=True)
+        if table.current_version() is not None:
+            raise FileExistsError(f"table already exists at {path}")
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            schema_json=json.dumps(schema.jsonValue()),
+            partition_by=partition_by,
+            files={},
+            summary={"operation": "create"},
+            epochs={},
+            properties=properties or {},
+        )
+        table._write_snapshot(snap, expected_parent=None)
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        table = cls(spark, path)
+        if table.current_version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return table
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), _MANIFEST_DIR, _CURRENT))
+
+    # ------------------------------------------------------------------
+    # snapshot access
+    # ------------------------------------------------------------------
+    def current_version(self) -> int | None:
+        pointer = os.path.join(self._manifest_path(), _CURRENT)
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            return int(fh.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no lake table at {self.path}")
+        with open(os.path.join(self._manifest_path(), f"v{version:08d}.json")) as fh:
+            raw = json.load(fh)
+        return Snapshot(**raw)
+
+    def history(self) -> list[Snapshot]:
+        names = sorted(
+            n for n in os.listdir(self._manifest_path()) if n.startswith("v") and n.endswith(".json")
+        )
+        return [self.snapshot(int(n[1:-5])) for n in names]
+
+    def schema(self) -> T.StructType:
+        return self.snapshot().schema()
+
+    def last_epoch(self, source: str) -> int:
+        return self.snapshot().epochs.get(source, -1)
+
+    def properties(self) -> dict[str, Any]:
+        return self.snapshot().properties
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Full-table scan at a snapshot (time travel when version given)."""
+        snap = self.snapshot(version)
+        return self._read_files(snap, snap.all_files())
+
+    def read_partitions(self, values: Iterable[Any], version: int | None = None) -> DataFrame:
+        """Manifest-level partition pruning: scan only the named partitions.
+
+        This is the scan side of the copy-on-write merge — the file list
+        never touches partitions outside the change batch, so apply cost
+        scales with batch footprint, not table size.
+        """
+        snap = self.snapshot(version)
+        wanted = {_part_key(v) for v in values}
+        files = [f for key, file_list in snap.files.items() if key in wanted for f in file_list]
+        return self._read_files(snap, files)
+
+    def partition_values(self, version: int | None = None) -> list[str]:
+        return sorted(self.snapshot(version).files.keys())
+
+    def _read_files(self, snap: Snapshot, files: list[str]) -> DataFrame:
+        schema = snap.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in files]
+        # Explicit schema => files written before a column was added
+        # null-backfill (additive evolution), and no footer-inference jobs.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------------------------------
+    # writes (each is ONE distributed Spark job + an O(1) driver commit)
+    # ------------------------------------------------------------------
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        epoch: tuple[str, int] | None = None,
+    ) -> Snapshot:
+        return self._commit(df, mode="append", summary=summary, epoch=epoch)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        epoch: tuple[str, int] | None = None,
+    ) -> Snapshot:
+        """Full refresh (reference S7, ``bronze/cdc_ingestion.py:121-127``)."""
+        return self._commit(df, mode="overwrite", summary=summary, epoch=epoch)
+
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        epoch: tuple[str, int] | None = None,
+        partition_values: Iterable[Any] | None = None,
+    ) -> Snapshot:
+        """Atomic swap of exactly the partitions present in ``df``.
+
+        ``partition_values`` may name partitions to drop even if the new
+        frame has no rows for them (e.g. a bucket whose rows were all
+        deleted).
+        """
+        return self._commit(
+            df,
+            mode="replace",
+            summary=summary,
+            epoch=epoch,
+            extra_replaced=partition_values,
+        )
+
+    def commit_epoch_noop(self, source: str, epoch: int, summary: dict | None = None) -> Snapshot:
+        """Record an epoch with no data change (empty batch exactly-once)."""
+        parent = self.snapshot()
+        self._check_epoch(parent, source, epoch)
+        snap = Snapshot(
+            version=parent.version + 1,
+            parent=parent.version,
+            schema_json=parent.schema_json,
+            partition_by=parent.partition_by,
+            files=parent.files,
+            summary={"operation": "noop", **(summary or {})},
+            epochs={**parent.epochs, source: epoch},
+            properties=parent.properties,
+        )
+        self._write_snapshot(snap, expected_parent=parent.version)
+        return snap
+
+    # ------------------------------------------------------------------
+    # schema evolution (additive)
+    # ------------------------------------------------------------------
+    def add_columns(self, new_fields: list[T.StructField]) -> Snapshot:
+        """ALTER TABLE ADD COLUMNS — existing files read the new columns
+        as null (reference's opt-in ``mergeSchema`` S6 made explicit)."""
+        parent = self.snapshot()
+        schema = parent.schema()
+        existing = {f.name for f in schema.fields}
+        added = [f for f in new_fields if f.name not in existing]
+        if not added:
+            return parent
+        evolved = T.StructType(schema.fields + added)
+        snap = Snapshot(
+            version=parent.version + 1,
+            parent=parent.version,
+            schema_json=json.dumps(evolved.jsonValue()),
+            partition_by=parent.partition_by,
+            files=parent.files,
+            summary={"operation": "add-columns", "columns": [f.name for f in added]},
+            epochs=parent.epochs,
+            properties=parent.properties,
+        )
+        self._write_snapshot(snap, expected_parent=parent.version)
+        return snap
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _commit(
+        self,
+        df: DataFrame,
+        mode: str,
+        summary: dict | None,
+        epoch: tuple[str, int] | None,
+        extra_replaced: Iterable[Any] | None = None,
+    ) -> Snapshot:
+        parent = self.snapshot()
+        if epoch is not None:
+            self._check_epoch(parent, epoch[0], epoch[1])
+        schema = parent.schema()
+        df = _align_to_schema(df, schema)
+
+        commit_id = uuid.uuid4().hex[:12]
+        commit_rel = os.path.join(_DATA_DIR, f"c{parent.version + 1:08d}-{commit_id}")
+        commit_abs = os.path.join(self.path, commit_rel)
+
+        part_col = parent.partition_by
+        if part_col is not None:
+            # Shadow copy of the partition column: partitionBy() consumes
+            # the directory key but the real column stays in the files, so
+            # reads are plain file-list scans with no discovery pass.
+            (
+                df.withColumn(_SHADOW_PARTITION_COL, F.col(part_col).cast("string"))
+                .write.partitionBy(_SHADOW_PARTITION_COL)
+                .parquet(commit_abs)
+            )
+            new_files = _collect_partitioned_files(commit_abs, commit_rel)
+        else:
+            df.write.parquet(commit_abs)
+            new_files = {"": _collect_flat_files(commit_abs, commit_rel)}
+        new_files = {k: v for k, v in new_files.items() if v}
+
+        if mode == "append":
+            files = {k: list(v) for k, v in parent.files.items()}
+            for key, file_list in new_files.items():
+                files.setdefault(key, []).extend(file_list)
+        elif mode == "overwrite":
+            files = new_files
+        elif mode == "replace":
+            replaced = set(new_files.keys())
+            if extra_replaced is not None:
+                replaced |= {_part_key(v) for v in extra_replaced}
+            files = {k: list(v) for k, v in parent.files.items() if k not in replaced}
+            files.update(new_files)
+        else:  # pragma: no cover
+            raise ValueError(mode)
+
+        epochs = dict(parent.epochs)
+        if epoch is not None:
+            epochs[epoch[0]] = epoch[1]
+        snap = Snapshot(
+            version=parent.version + 1,
+            parent=parent.version,
+            schema_json=parent.schema_json,
+            partition_by=parent.partition_by,
+            files=files,
+            summary={"operation": mode, **(summary or {})},
+            epochs=epochs,
+            properties=parent.properties,
+        )
+        try:
+            self._write_snapshot(snap, expected_parent=parent.version)
+        except CommitConflict:
+            shutil.rmtree(commit_abs, ignore_errors=True)
+            raise
+        return snap
+
+    def _check_epoch(self, parent: Snapshot, source: str, epoch: int) -> None:
+        last = parent.epochs.get(source, -1)
+        if epoch <= last:
+            raise EpochAlreadyApplied(
+                f"epoch {epoch} for source {source!r} already committed (last={last})"
+            )
+
+    def _write_snapshot(self, snap: Snapshot, expected_parent: int | None) -> None:
+        current = self.current_version()
+        if current != expected_parent:
+            raise CommitConflict(
+                f"table advanced to v{current} while writing v{snap.version}"
+            )
+        manifest = os.path.join(self._manifest_path(), f"v{snap.version:08d}.json")
+        tmp = manifest + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(snap.__dict__, fh)
+        os.replace(tmp, manifest)
+        pointer_tmp = os.path.join(self._manifest_path(), f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(pointer_tmp, "w") as fh:
+            fh.write(str(snap.version))
+        # Atomic pointer swap == the commit point (catalog CAS stand-in).
+        os.replace(pointer_tmp, os.path.join(self._manifest_path(), _CURRENT))
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR)
+
+    def _data_path(self) -> str:
+        return os.path.join(self.path, _DATA_DIR)
+
+
+def _part_key(value: Any) -> str:
+    return "" if value is None else str(value)
+
+
+def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast the frame to the table schema; missing columns -> null
+    (the additive-evolution write path)."""
+    cols = []
+    available = set(df.columns)
+    for field in schema.fields:
+        if field.name in available:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def _collect_partitioned_files(commit_abs: str, commit_rel: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for entry in os.listdir(commit_abs):
+        if not entry.startswith(f"{_SHADOW_PARTITION_COL}="):
+            continue
+        raw = entry.split("=", 1)[1]
+        key = "" if raw == "__HIVE_DEFAULT_PARTITION__" else _unescape_path(raw)
+        part_dir = os.path.join(commit_abs, entry)
+        out[key] = sorted(
+            os.path.join(commit_rel, entry, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _collect_flat_files(commit_abs: str, commit_rel: str) -> list[str]:
+    return sorted(
+        os.path.join(commit_rel, f) for f in os.listdir(commit_abs) if f.endswith(".parquet")
+    )
+
+
+def _unescape_path(raw: str) -> str:
+    # Hive-style %XX escaping used by Spark's partitioned writer.
+    from urllib.parse import unquote
+
+    return unquote(raw)
