@@ -132,6 +132,13 @@ def apply_changes(
 
     The target table must be partitioned by ``BUCKET_COL`` and carry
     ``n_buckets`` in its properties (see ``plans/bronze.create_target``).
+
+    Ordering contract: batches should be applied in non-decreasing LSN
+    order (the replayer guarantees it). The version-aware resolution makes
+    replayed or overlapping batches converge regardless; the one case that
+    needs the contract is a delete followed by an out-of-order OLDER
+    update in a *later* batch (no tombstone is retained, so the stale
+    update would resurface the row).
     """
     n_buckets = int(table.properties()["n_buckets"])
     if table.last_epoch(source) >= epoch:
@@ -167,12 +174,41 @@ def apply_changes(
         lsn_min = min(r["lsn_min"] for r in stats)
         lsn_max = max(r["lsn_max"] for r in stats)
 
-        # Untouched rows of the affected buckets survive; changed keys are
-        # replaced by their winners (deletes simply emit nothing).
+        # Version-aware resolution over a single full-outer join:
+        # - key only in target            -> target row survives untouched
+        # - key only in batch             -> winner inserted (unless D)
+        # - both: target (lsn,op_ordinal) newer-or-equal -> target stays
+        #         (makes replayed/out-of-order batches converge — the
+        #         defense Delta MERGE lacks, G5), else winner replaces
+        #         (or removes, for D).
+        # The target carries the order columns as provenance, so this is
+        # pure column algebra; AQE broadcasts the (small) winner side.
         target_slice = table.read_partitions(affected)
-        survivors = target_slice.join(winners.select(*keys), list(keys), "left_anti")
-        upserts = winners.where(F.col("op") != "D").select(*target_cols)
-        merged = survivors.unionByName(upserts)
+        t_struct = F.struct(*[F.col(f"t.{c}").alias(c) for c in target_cols])
+        w_struct = F.struct(
+            *[
+                (F.col(f"w.{c}") if c in winners.columns else F.lit(None)).cast(
+                    target_schema[c].dataType
+                ).alias(c)
+                for c in target_cols
+            ]
+        )
+        t_ord = F.struct(*[F.col(f"t.{o}") for o in order])
+        w_ord = F.struct(*[F.col(f"w.{o}") for o in order])
+        t_present = F.col(f"t.{order[0]}").isNotNull()
+        w_present = F.col("w.op").isNotNull()
+        chosen = (
+            F.when(t_present & (~w_present | (t_ord >= w_ord)), t_struct)
+            .when(w_present & (F.col("w.op") != "D"), w_struct)
+            .otherwise(F.lit(None))
+        )
+        merged = (
+            target_slice.alias("t")
+            .join(winners.alias("w"), on=list(keys), how="full_outer")
+            .select(chosen.alias("_r"))
+            .where(F.col("_r").isNotNull())
+            .select("_r.*")
+        )
 
         snap = table.replace_partitions(
             merged,

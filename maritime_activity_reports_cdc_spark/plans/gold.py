@@ -1,0 +1,201 @@
+"""Gold layer: incremental business aggregates over silver state.
+
+Rebuilds the reference gold layer (``gold/cdf_processor.py`` +
+``gold/table_setup.py`` in /root/reference) — per-entity summaries (M6,
+``:248-328``), grouped performance aggs (M7, ``:346-427``), compliance-
+style multi-measure aggs (M8, ``:429-525``), daily rollups (A4,
+``gold/table_setup.py:475-491``) — with the reference's central
+scalability defect fixed:
+
+- **G2**: the reference collect()s changed keys to the driver and runs one
+  f-string MERGE per key (``gold/cdf_processor.py:239-246``). Here the
+  affected-key set stays distributed: one semi-join restricts the agg
+  source, one groupBy computes all affected aggregates, one
+  partition-scoped replace commits them. Apply cost ∝ affected keys.
+
+Summary measure vocabulary mirrors M6's shape (counts by category,
+min/max timestamps, averages, conditional counts) translated to the
+transcript domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maritime_activity_reports_cdc_spark.operators.apply import BUCKET_COL, bucket_expr
+from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
+
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("n_user", T.LongType(), True),
+        T.StructField("n_assistant", T.LongType(), True),
+        T.StructField("n_system", T.LongType(), True),
+        T.StructField("n_tool_calls", T.LongType(), True),
+        T.StructField("n_distinct_tools", T.LongType(), True),
+        T.StructField("first_ts", T.TimestampType(), True),
+        T.StructField("last_ts", T.TimestampType(), True),
+        T.StructField("duration_secs", T.DoubleType(), True),
+        T.StructField("avg_gap_secs", T.DoubleType(), True),
+        T.StructField("max_gap_secs", T.DoubleType(), True),
+        T.StructField("total_tokens", T.LongType(), True),
+        T.StructField("avg_quality", T.DoubleType(), True),
+        T.StructField("n_anomalous", T.LongType(), True),
+        T.StructField("risk_level", T.StringType(), True),
+        T.StructField(BUCKET_COL, T.IntegerType(), False),
+    ]
+)
+
+DAILY_SCHEMA = T.StructType(
+    [
+        T.StructField("business_date", T.DateType(), False),
+        T.StructField("n_active_conversations", T.LongType(), True),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("n_tool_calls", T.LongType(), True),
+        T.StructField("total_tokens", T.LongType(), True),
+        T.StructField("avg_quality", T.DoubleType(), True),
+    ]
+)
+
+
+def create_summary_table(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
+    return LakeTable.create(
+        spark, path, SUMMARY_SCHEMA, partition_by=BUCKET_COL,
+        properties={"n_buckets": n_buckets},
+    )
+
+
+def create_daily_table(spark: SparkSession, path: str) -> LakeTable:
+    # Partitioned by day — the reference's gold partition scheme
+    # (``gold/table_setup.py:94``); rollup refresh replaces whole days.
+    return LakeTable.create(spark, path, DAILY_SCHEMA, partition_by="business_date",
+                            properties={})
+
+
+def conversation_summary(silver_rows: DataFrame) -> DataFrame:
+    """All per-conversation measures in ONE groupBy (M6 analog, set-
+    oriented). Conditional counts via count(when(...)) — A3/A6 pattern."""
+    cnt = lambda cond: F.count(F.when(cond, 1))  # noqa: E731
+    agg = silver_rows.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        cnt(F.col("role") == "user").alias("n_user"),
+        cnt(F.col("role") == "assistant").alias("n_assistant"),
+        cnt(F.col("role") == "system").alias("n_system"),
+        cnt(F.col("role") == "tool").alias("n_tool_calls"),
+        F.countDistinct("tool").alias("n_distinct_tools"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))).alias("duration_secs"),
+        F.avg("gap_secs").alias("avg_gap_secs"),
+        F.max("gap_secs").alias("max_gap_secs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        cnt(F.col("is_anomalous")).alias("n_anomalous"),
+    )
+    # Risk CASE over aggregate counts — A6 shape (gold/cdf_processor.py:
+    # 450-513 risk_score CASE).
+    risk = (
+        F.when(F.col("n_anomalous") > 5, "high")
+        .when((F.col("n_anomalous") > 0) | (F.col("avg_quality") < 0.7), "medium")
+        .otherwise("low")
+    )
+    return agg.withColumn("risk_level", risk)
+
+
+def refresh_summary_for_conversations(
+    silver_table: LakeTable,
+    summary_table: LakeTable,
+    conv_ids: DataFrame,
+    epoch: int,
+    source: str = "gold_summary",
+) -> bool:
+    """Incremental recompute of exactly the affected conversations'
+    summaries (agg-then-merge, M6 — minus the per-key driver loop)."""
+    if summary_table.last_epoch(source) >= epoch:
+        return False
+    n_buckets = int(summary_table.properties()["n_buckets"])
+    keyed = conv_ids.withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets)).persist()
+    try:
+        buckets = [r[BUCKET_COL] for r in keyed.select(BUCKET_COL).distinct().collect()]
+        if not buckets:
+            summary_table.commit_epoch_noop(source, epoch, {"rows": 0})
+            return True
+        silver_slice = silver_table.read_partitions(buckets)
+        affected_rows = silver_slice.join(
+            F.broadcast(keyed.select("conv_id")), "conv_id", "left_semi"
+        )
+        fresh = conversation_summary(affected_rows).withColumn(
+            BUCKET_COL, bucket_expr("conv_id", n_buckets)
+        )
+        target_cols = [f.name for f in summary_table.schema().fields]
+        summary_slice = summary_table.read_partitions(buckets)
+        survivors = summary_slice.join(
+            F.broadcast(keyed.select("conv_id")), "conv_id", "left_anti"
+        )
+        # A conversation whose rows were ALL deleted upstream produces no
+        # agg row — its stale summary must go too, which the anti-join +
+        # union already guarantees (it's neither survivor nor fresh).
+        merged = survivors.unionByName(fresh.select(*target_cols))
+        summary_table.replace_partitions(
+            merged, summary={"source": source}, epoch=(source, epoch),
+            partition_values=buckets,
+        )
+        return True
+    finally:
+        keyed.unpersist()
+
+
+def refresh_daily_rollup(
+    silver_table: LakeTable,
+    daily_table: LakeTable,
+    affected_dates: DataFrame | None,
+    epoch: int,
+    source: str = "gold_daily",
+) -> bool:
+    """Daily activity rollup (A4 analog) — incremental by business_date:
+    only days present in the change batch are recomputed and replaced.
+    ``affected_dates`` None means full rebuild."""
+    if daily_table.last_epoch(source) >= epoch:
+        return False
+    silver_rows = silver_table.read()
+    rows = silver_rows.withColumn("business_date", F.to_date("ts"))
+    if affected_dates is not None:
+        dates = [r[0] for r in affected_dates.distinct().collect()]
+        if not dates:
+            daily_table.commit_epoch_noop(source, epoch, {"rows": 0})
+            return True
+        rows = rows.where(F.col("business_date").isin(dates))
+    else:
+        dates = None
+    rollup = rows.groupBy("business_date").agg(
+        F.countDistinct("conv_id").alias("n_active_conversations"),
+        F.count("*").alias("n_turns"),
+        F.count(F.when(F.col("role") == "tool", 1)).alias("n_tool_calls"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+    if dates is None:
+        daily_table.overwrite(rollup, summary={"source": source}, epoch=(source, epoch))
+    else:
+        daily_table.replace_partitions(
+            rollup, summary={"source": source}, epoch=(source, epoch),
+            partition_values=dates,
+        )
+    return True
+
+
+def top_conversations_view(summary_table: LakeTable, k: int = 10) -> DataFrame:
+    """Rank view (W6 analog, ``gold/table_setup.py:466-471``): top-k
+    conversations by turns within each risk level."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("risk_level").orderBy(F.desc("n_turns"), "conv_id")
+    return (
+        summary_table.read()
+        .withColumn("rank_in_risk", F.rank().over(w))
+        .where(F.col("rank_in_risk") <= k)
+        .orderBy("risk_level", "rank_in_risk")
+    )

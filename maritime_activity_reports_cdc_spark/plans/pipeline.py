@@ -1,0 +1,212 @@
+"""Medallion relay: change batch -> bronze -> silver -> gold, exactly-once
+per layer, with per-partition lineage and per-epoch metrics.
+
+The reference chains three Delta-CDF streaming hops
+(``orchestrator/cdc_cdf_orchestrator.py:62-86`` in /root/reference); here
+the relay is a single epoch-driven function — the batch body that both the
+chunked replayer and the Structured Streaming ``foreachBatch`` wrapper
+call (SURVEY.md §2.10 T6, single-action design, no repeated count()
+guards — G4 fix).
+
+Exactly-once across a multi-table relay: each layer table tracks its own
+``(source, epoch)`` watermark in its snapshot chain, so a crash BETWEEN
+layers resumes correctly — bronze skips the epoch it already committed,
+silver/gold apply it. No cross-table transaction is needed because every
+layer's refresh is a deterministic function of (upstream state, epoch
+batch).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maritime_activity_reports_cdc_spark.operators.apply import BUCKET_COL, bucket_expr
+from maritime_activity_reports_cdc_spark.plans import bronze as bronze_plan
+from maritime_activity_reports_cdc_spark.plans import gold as gold_plan
+from maritime_activity_reports_cdc_spark.plans import silver as silver_plan
+from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("lsn_min", T.LongType(), True),
+        T.StructField("lsn_max", T.LongType(), True),
+        T.StructField("n_upserts", T.LongType(), True),
+        T.StructField("n_deletes", T.LongType(), True),
+        T.StructField("snapshot_version", T.LongType(), True),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("n_keys", T.LongType(), True),
+        T.StructField("n_upserts", T.LongType(), True),
+        T.StructField("n_deletes", T.LongType(), True),
+        T.StructField("bronze_secs", T.DoubleType(), True),
+        T.StructField("silver_secs", T.DoubleType(), True),
+        T.StructField("gold_secs", T.DoubleType(), True),
+        T.StructField("total_secs", T.DoubleType(), True),
+        T.StructField("events_per_sec", T.DoubleType(), True),
+    ]
+)
+
+
+@dataclass
+class EpochMetrics:
+    epoch: int
+    n_events: int
+    n_keys: int
+    n_upserts: int
+    n_deletes: int
+    bronze_secs: float
+    silver_secs: float
+    gold_secs: float
+    total_secs: float
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.n_keys / self.total_secs if self.total_secs > 0 else 0.0
+
+
+@dataclass
+class MedallionPipeline:
+    spark: SparkSession
+    root: str
+    n_buckets: int = 16
+    with_gold: bool = True
+    with_daily: bool = True
+    bronze: LakeTable = field(init=False)
+    silver: LakeTable = field(init=False)
+    summary: LakeTable | None = field(init=False, default=None)
+    daily: LakeTable | None = field(init=False, default=None)
+    lineage: LakeTable = field(init=False)
+    metrics: LakeTable = field(init=False)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, n_buckets: int = 16,
+               with_gold: bool = True, with_daily: bool = True) -> "MedallionPipeline":
+        p = cls(spark, root, n_buckets, with_gold, with_daily)
+        os.makedirs(root, exist_ok=True)
+        p.bronze = bronze_plan.create_transcripts_table(spark, p._p("bronze_transcripts"), n_buckets)
+        p.silver = silver_plan.create_silver_table(spark, p._p("silver_transcripts"), n_buckets)
+        if with_gold:
+            p.summary = gold_plan.create_summary_table(spark, p._p("gold_conversation_summary"), n_buckets)
+        if with_daily:
+            p.daily = gold_plan.create_daily_table(spark, p._p("gold_daily_rollup"))
+        p.lineage = LakeTable.create(spark, p._p("_lineage"), LINEAGE_SCHEMA, properties={})
+        p.metrics = LakeTable.create(spark, p._p("_metrics"), METRICS_SCHEMA, properties={})
+        return p
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "MedallionPipeline":
+        p = cls(spark, root)
+        p.bronze = LakeTable.load(spark, p._p("bronze_transcripts"))
+        p.silver = LakeTable.load(spark, p._p("silver_transcripts"))
+        p.n_buckets = int(p.bronze.properties()["n_buckets"])
+        p.with_gold = LakeTable.exists(p._p("gold_conversation_summary"))
+        p.summary = (
+            LakeTable.load(spark, p._p("gold_conversation_summary")) if p.with_gold else None
+        )
+        p.with_daily = LakeTable.exists(p._p("gold_daily_rollup"))
+        p.daily = LakeTable.load(spark, p._p("gold_daily_rollup")) if p.with_daily else None
+        p.lineage = LakeTable.load(spark, p._p("_lineage"))
+        p.metrics = LakeTable.load(spark, p._p("_metrics"))
+        return p
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # ------------------------------------------------------------------
+    def apply_epoch(self, batch: DataFrame, epoch: int) -> EpochMetrics:
+        """The relay body: one change batch through all layers."""
+        t0 = time.monotonic()
+        res = bronze_plan.apply_transcript_batch(self.bronze, batch, epoch=epoch)
+        t1 = time.monotonic()
+
+        # Affected-set for downstream incremental refresh. For deletes the
+        # row image is null, but conv_id is part of the key so it is
+        # always present — deletes propagate to silver/gold (G7 fix).
+        affected = silver_plan.affected_conversations(batch)
+        affected = affected.persist()
+        try:
+            silver_plan.refresh_silver_for_conversations(
+                self.bronze, self.silver, affected, epoch=epoch
+            )
+            t2 = time.monotonic()
+            if self.summary is not None:
+                gold_plan.refresh_summary_for_conversations(
+                    self.silver, self.summary, affected, epoch=epoch
+                )
+            if self.daily is not None:
+                # Dates needing recompute: any date the affected
+                # conversations had rows on before OR after the batch.
+                sbuckets = [
+                    r[0]
+                    for r in affected.select(
+                        bucket_expr("conv_id", int(self.silver.properties()["n_buckets"]))
+                    ).distinct().collect()
+                ]
+                dates = (
+                    batch.where(F.col("ts").isNotNull())
+                    .select(F.to_date("ts").alias("business_date"))
+                    .unionByName(
+                        self.silver.read_partitions(sbuckets)
+                        .join(F.broadcast(affected), "conv_id", "left_semi")
+                        .select(F.to_date("ts").alias("business_date"))
+                    )
+                    .distinct()
+                )
+                gold_plan.refresh_daily_rollup(self.silver, self.daily, dates, epoch=epoch)
+            t3 = time.monotonic()
+        finally:
+            affected.unpersist()
+
+        if res.applied and res.bucket_stats:
+            lineage_rows = [
+                (epoch, b, res.lsn_min, res.lsn_max, up, dl, res.snapshot_version)
+                for (b, up, dl) in res.bucket_stats
+            ]
+            try:
+                self.lineage.append(
+                    self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA),
+                    epoch=("lineage", epoch),
+                )
+            except Exception:
+                pass  # lineage is observability, never fails the relay
+
+        m = EpochMetrics(
+            epoch=epoch,
+            n_events=res.n_keys,
+            n_keys=res.n_keys,
+            n_upserts=res.n_insert_update,
+            n_deletes=res.n_delete,
+            bronze_secs=t1 - t0,
+            silver_secs=t2 - t1,
+            gold_secs=t3 - t2,
+            total_secs=t3 - t0,
+        )
+        try:
+            self.metrics.append(
+                self.spark.createDataFrame(
+                    [(
+                        m.epoch, m.n_events, m.n_keys, m.n_upserts, m.n_deletes,
+                        m.bronze_secs, m.silver_secs, m.gold_secs, m.total_secs,
+                        m.events_per_sec,
+                    )],
+                    METRICS_SCHEMA,
+                ),
+                epoch=("metrics", epoch),
+            )
+        except Exception:
+            pass
+        return m

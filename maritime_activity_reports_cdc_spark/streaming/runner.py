@@ -1,0 +1,140 @@
+"""Change-feed runners.
+
+Two ways to tail the change log, both driving the SAME relay body
+(``MedallionPipeline.apply_epoch``), mirroring how the reference drives
+identical microbatch functions from Delta-CDF streams
+(``silver/cdf_processor.py:83-88`` in /root/reference, S8):
+
+1. ``CheckpointedReplayer`` — engine-owned offsets: the change log is an
+   LSN-ordered table; epochs are contiguous LSN ranges; the committed
+   high-water mark lives in a JSON checkpoint written with the same
+   atomic-rename discipline as lake commits. This is the bounded-replay
+   ("availableNow") and benchmark path — it resumes from a crash at the
+   last committed epoch (SURVEY.md §2.10 T2's engine-owned offsets row).
+
+2. ``start_stream`` — genuine Structured Streaming over a file-based
+   change feed (``readStream.parquet``) with ``foreachBatch`` +
+   ``checkpointLocation``, for continuous operation. Exactly-once holds
+   even if Spark replays a batch: the relay's epoch guard makes the
+   second apply a no-op (the reference relies on MERGE idempotence alone,
+   which breaks for its non-idempotent branches — G5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maritime_activity_reports_cdc_spark.plans.pipeline import EpochMetrics, MedallionPipeline
+from maritime_activity_reports_cdc_spark.sources.generator import CHANGE_SCHEMA
+
+
+@dataclass
+class ReplayReport:
+    epochs_run: int
+    epochs_skipped: int
+    events: int
+    wall_secs: float
+    events_per_sec: float
+    metrics: list[EpochMetrics]
+
+
+class CheckpointedReplayer:
+    """Bounded, resumable replay of an LSN-ordered change log."""
+
+    def __init__(self, pipeline: MedallionPipeline, checkpoint_dir: str):
+        self.pipeline = pipeline
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    # -- checkpoint bookkeeping (atomic-rename JSON) --------------------
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "offsets.json")
+
+    def read_checkpoint(self) -> dict:
+        path = self._ckpt_path()
+        if not os.path.exists(path):
+            return {"last_epoch": -1, "lsn_high": None}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def write_checkpoint(self, state: dict) -> None:
+        tmp = self._ckpt_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._ckpt_path())
+
+    # -- replay ----------------------------------------------------------
+    def run(
+        self,
+        changes: DataFrame,
+        n_chunks: int = 8,
+        fail_after_epoch: int | None = None,
+    ) -> ReplayReport:
+        """Split the log into LSN-range epochs and relay each through the
+        pipeline, committing the checkpoint after every epoch.
+
+        ``fail_after_epoch`` injects a crash (for restart tests).
+        """
+        lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+        if lo is None:
+            return ReplayReport(0, 0, 0, 0.0, 0.0, [])
+        span = int(hi) - int(lo) + 1
+        step = max(1, (span + n_chunks - 1) // n_chunks)
+        state = self.read_checkpoint()
+        start = time.monotonic()
+        metrics: list[EpochMetrics] = []
+        run_count = skip_count = events = 0
+        for i in range(n_chunks):
+            c_lo = int(lo) + i * step
+            if c_lo >= int(lo) + span:
+                break
+            if i <= state["last_epoch"]:
+                skip_count += 1
+                continue
+            c_hi = min(c_lo + step, int(lo) + span)
+            chunk = changes.where((F.col("lsn") >= c_lo) & (F.col("lsn") < c_hi))
+            m = self.pipeline.apply_epoch(chunk, epoch=i)
+            metrics.append(m)
+            run_count += 1
+            events += m.n_keys
+            state = {"last_epoch": i, "lsn_high": c_hi - 1}
+            self.write_checkpoint(state)
+            if fail_after_epoch is not None and i >= fail_after_epoch:
+                raise RuntimeError(f"injected crash after epoch {i}")
+        wall = time.monotonic() - start
+        return ReplayReport(
+            run_count, skip_count, events, wall, events / wall if wall > 0 else 0.0, metrics
+        )
+
+
+def start_stream(
+    spark: SparkSession,
+    pipeline: MedallionPipeline,
+    feed_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Structured Streaming tail of a parquet change feed directory.
+
+    Returns the StreamingQuery; caller drives it (``processAllAvailable``
+    in tests, ``awaitTermination`` in production). Batch ids become relay
+    epochs, so Spark-side batch replay after a checkpoint rollback is
+    absorbed by the per-table epoch guards.
+    """
+    stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(feed_dir)
+    writer = stream.writeStream.foreachBatch(
+        lambda df, batch_id: pipeline.apply_epoch(df, epoch=batch_id) and None
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1,0 +1,165 @@
+"""Medallion relay tests: silver/gold golden numbers (reference test
+styles 2+4, /root/reference/.../tests/test_silver_layer.py:61-117,
+test_gold_layer.py:199-255), checkpointed restart, streaming parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+from maritime_activity_reports_cdc_spark.sources.generator import (
+    CHANGE_SCHEMA,
+    generate_transcript_changes,
+)
+from maritime_activity_reports_cdc_spark.streaming.runner import (
+    CheckpointedReplayer,
+    start_stream,
+)
+
+T0 = dt.datetime(2025, 3, 1, 12, 0, 0)
+
+
+def _row(op, lsn, conv, turn, role, text, tool=None, ts=None):
+    return (op, lsn, 0, T0, conv, turn, role, text, tool, ts or (T0 + dt.timedelta(seconds=60 * turn)))
+
+
+@pytest.fixture()
+def tiny_batch(spark):
+    rows = [
+        _row("I", 1, "cA", 0, "system", "sys prompt"),
+        _row("I", 2, "cA", 1, "user", "hello there world"),          # 3 tokens
+        _row("I", 3, "cA", 2, "assistant", "hi and welcome friend"),  # 4 tokens
+        _row("I", 4, "cA", 3, "tool", "result 42", tool="search"),
+        _row("I", 5, "cB", 0, "user", "solo"),
+    ]
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def test_silver_gold_golden_numbers(spark, tmp_path, tiny_batch):
+    p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
+    p.apply_epoch(tiny_batch, epoch=0)
+
+    silver = {(r.conv_id, r.turn_idx): r for r in p.silver.read().collect()}
+    assert silver[("cA", 1)].n_tokens == 3
+    assert silver[("cA", 2)].n_tokens == 4
+    assert silver[("cA", 0)].gap_secs is None          # first turn
+    assert silver[("cA", 1)].gap_secs == 60.0          # 1 min spacing
+    assert silver[("cA", 1)].is_role_transition        # system -> user
+    assert silver[("cA", 3)].quality_score == 1.0      # tool turn w/ tool set
+    assert silver[("cB", 0)].quality_score == 1.0
+
+    summary = {r.conv_id: r for r in p.summary.read().collect()}
+    a = summary["cA"]
+    assert a.n_turns == 4 and a.n_user == 1 and a.n_assistant == 1
+    assert a.n_tool_calls == 1 and a.n_distinct_tools == 1
+    assert a.duration_secs == 180.0
+    assert a.avg_gap_secs == 60.0
+    assert a.total_tokens == 2 + 3 + 4 + 2
+    assert a.risk_level == "low"
+    assert summary["cB"].n_turns == 1
+
+    daily = {r.business_date: r for r in p.daily.read().collect()}
+    d = daily[dt.date(2025, 3, 1)]
+    assert d.n_active_conversations == 2 and d.n_turns == 5 and d.n_tool_calls == 1
+
+
+def test_update_and_delete_ripple_to_gold(spark, tmp_path, tiny_batch):
+    p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
+    p.apply_epoch(tiny_batch, epoch=0)
+    upd = [
+        _row("U", 10, "cA", 1, "user", "hello there big wide world"),  # 5 tokens now
+        _row("D", 11, "cB", 0, None, None, ts=None),
+    ]
+    # D rows carry null image
+    upd[1] = ("D", 11, 0, T0, "cB", 0, None, None, None, None)
+    p.apply_epoch(spark.createDataFrame(upd, CHANGE_SCHEMA), epoch=1)
+
+    silver = {(r.conv_id, r.turn_idx): r for r in p.silver.read().collect()}
+    assert silver[("cA", 1)].n_tokens == 5
+    assert ("cB", 0) not in silver                      # delete propagated (G7)
+
+    summary = {r.conv_id: r for r in p.summary.read().collect()}
+    assert summary["cA"].total_tokens == 2 + 5 + 4 + 2
+    assert "cB" not in summary                          # empty conv summary dropped
+
+    daily = {r.business_date: r for r in p.daily.read().collect()}
+    assert daily[dt.date(2025, 3, 1)].n_active_conversations == 1
+    assert daily[dt.date(2025, 3, 1)].n_turns == 4
+
+
+def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
+    changes = generate_transcript_changes(
+        spark, n_conversations=30, turns_per_conv=8, update_ratio=0.3,
+        delete_ratio=0.05, duplicate_ratio=0.05, seed=11,
+    ).cache()
+
+    # straight-through run
+    p1 = MedallionPipeline.create(spark, str(tmp_path / "one"), n_buckets=4)
+    CheckpointedReplayer(p1, str(tmp_path / "ck1")).run(changes, n_chunks=1)
+
+    # crash after epoch 2 of 6, then resume from checkpoint
+    p2 = MedallionPipeline.create(spark, str(tmp_path / "two"), n_buckets=4)
+    replayer = CheckpointedReplayer(p2, str(tmp_path / "ck2"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        replayer.run(changes, n_chunks=6, fail_after_epoch=2)
+    p2b = MedallionPipeline.load(spark, str(tmp_path / "two"))
+    report = CheckpointedReplayer(p2b, str(tmp_path / "ck2")).run(changes, n_chunks=6)
+    assert report.epochs_skipped == 3 and report.epochs_run >= 1
+
+    for layer in ("bronze", "silver"):
+        a = getattr(p1, layer).read().orderBy("conv_id", "turn_idx").select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ).toPandas()
+        b = getattr(p2b, layer).read().orderBy("conv_id", "turn_idx").select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ).toPandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    sa = p1.summary.read().orderBy("conv_id").toPandas()
+    sb = p2b.summary.read().orderBy("conv_id").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
+    # lineage recorded source offsets per bucket
+    assert p2b.lineage.read().count() > 0
+    assert p2b.metrics.read().where(F.col("events_per_sec") > 0).count() > 0
+    changes.unpersist()
+
+
+def test_structured_streaming_feed_matches_batch(spark, tmp_path):
+    """S8/T6 parity: the same change log delivered as a parquet file feed
+    through readStream+foreachBatch converges to the batch-replay state."""
+    changes = generate_transcript_changes(
+        spark, n_conversations=20, turns_per_conv=6, update_ratio=0.3,
+        delete_ratio=0.05, seed=13,
+    ).cache()
+
+    p_batch = MedallionPipeline.create(spark, str(tmp_path / "batch"), n_buckets=4)
+    CheckpointedReplayer(p_batch, str(tmp_path / "ckb")).run(changes, n_chunks=1)
+
+    # deliver the feed as LSN-ordered parquet files
+    feed_dir = str(tmp_path / "feed")
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        chunk = changes.where((F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step))
+        chunk.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    p_stream = MedallionPipeline.create(spark, str(tmp_path / "stream"), n_buckets=4)
+    q = start_stream(spark, p_stream, feed_dir, str(tmp_path / "cks"), available_now=True)
+    q.awaitTermination(120)
+
+    import pandas as pd
+
+    a = p_batch.silver.read().orderBy("conv_id", "turn_idx").select(
+        "conv_id", "turn_idx", "text", "n_tokens", "gap_secs"
+    ).toPandas()
+    b = p_stream.silver.read().orderBy("conv_id", "turn_idx").select(
+        "conv_id", "turn_idx", "text", "n_tokens", "gap_secs"
+    ).toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    changes.unpersist()
