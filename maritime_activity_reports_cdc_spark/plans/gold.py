@@ -64,7 +64,7 @@ DAILY_SCHEMA = T.StructType(
 def create_summary_table(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
     return LakeTable.create(
         spark, path, SUMMARY_SCHEMA, partition_by=BUCKET_COL,
-        properties={"n_buckets": n_buckets},
+        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id"]},
     )
 
 
@@ -108,44 +108,40 @@ def conversation_summary(silver_rows: DataFrame) -> DataFrame:
 def refresh_summary_for_conversations(
     silver_table: LakeTable,
     summary_table: LakeTable,
-    conv_ids: DataFrame,
+    affected,
     epoch: int,
     source: str = "gold_summary",
 ) -> bool:
     """Incremental recompute of exactly the affected conversations'
-    summaries (agg-then-merge, M6 — minus the per-key driver loop)."""
+    summaries (agg-then-merge, M6 — minus the per-key driver loop).
+    ``affected`` is a ``silver.AffectedSet`` (shared across layers)."""
     if summary_table.last_epoch(source) >= epoch:
         return False
     n_buckets = int(summary_table.properties()["n_buckets"])
-    keyed = conv_ids.withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets)).persist()
-    try:
-        buckets = [r[BUCKET_COL] for r in keyed.select(BUCKET_COL).distinct().collect()]
-        if not buckets:
-            summary_table.commit_epoch_noop(source, epoch, {"rows": 0})
-            return True
-        silver_slice = silver_table.read_partitions(buckets)
-        affected_rows = silver_slice.join(
-            F.broadcast(keyed.select("conv_id")), "conv_id", "left_semi"
-        )
-        fresh = conversation_summary(affected_rows).withColumn(
-            BUCKET_COL, bucket_expr("conv_id", n_buckets)
-        )
-        target_cols = [f.name for f in summary_table.schema().fields]
-        summary_slice = summary_table.read_partitions(buckets)
-        survivors = summary_slice.join(
-            F.broadcast(keyed.select("conv_id")), "conv_id", "left_anti"
-        )
-        # A conversation whose rows were ALL deleted upstream produces no
-        # agg row — its stale summary must go too, which the anti-join +
-        # union already guarantees (it's neither survivor nor fresh).
-        merged = survivors.unionByName(fresh.select(*target_cols))
-        summary_table.replace_partitions(
-            merged, summary={"source": source}, epoch=(source, epoch),
-            partition_values=buckets,
-        )
+    if not affected.buckets:
+        summary_table.commit_epoch_noop(source, epoch, {"rows": 0})
         return True
-    finally:
-        keyed.unpersist()
+    silver_slice = silver_table.read_partitions(affected.buckets, bounds=affected.prune())
+    affected_rows = silver_slice.join(
+        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
+    )
+    fresh = conversation_summary(affected_rows).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", n_buckets)
+    )
+    target_cols = [f.name for f in summary_table.schema().fields]
+    summary_slice = summary_table.read_partitions(affected.buckets)
+    survivors = summary_slice.join(
+        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_anti"
+    )
+    # A conversation whose rows were ALL deleted upstream produces no
+    # agg row — its stale summary must go too, which the anti-join +
+    # union already guarantees (it's neither survivor nor fresh).
+    merged = survivors.unionByName(fresh.select(*target_cols))
+    summary_table.replace_partitions(
+        merged, summary={"source": source}, epoch=(source, epoch),
+        partition_values=affected.buckets,
+    )
+    return True
 
 
 def refresh_daily_rollup(

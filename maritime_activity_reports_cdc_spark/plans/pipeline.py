@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from maritime_activity_reports_cdc_spark.operators.apply import BUCKET_COL, bucket_expr
 from maritime_activity_reports_cdc_spark.plans import bronze as bronze_plan
 from maritime_activity_reports_cdc_spark.plans import gold as gold_plan
 from maritime_activity_reports_cdc_spark.plans import silver as silver_plan
@@ -90,6 +89,8 @@ class MedallionPipeline:
     daily: LakeTable | None = field(init=False, default=None)
     lineage: LakeTable = field(init=False)
     metrics: LakeTable = field(init=False)
+    _pending_lineage: list = field(init=False, default_factory=list)
+    _pending_metrics: list = field(init=False, default_factory=list)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -129,15 +130,16 @@ class MedallionPipeline:
     # ------------------------------------------------------------------
     def apply_epoch(self, batch: DataFrame, epoch: int) -> EpochMetrics:
         """The relay body: one change batch through all layers."""
+        batch = batch.persist()  # reused by bronze apply, affected-set, dates
         t0 = time.monotonic()
         res = bronze_plan.apply_transcript_batch(self.bronze, batch, epoch=epoch)
         t1 = time.monotonic()
 
-        # Affected-set for downstream incremental refresh. For deletes the
-        # row image is null, but conv_id is part of the key so it is
+        # Affected-set for downstream incremental refresh, computed ONCE
+        # (one combined aggregate) and shared by every layer. For deletes
+        # the row image is null, but conv_id is part of the key so it is
         # always present — deletes propagate to silver/gold (G7 fix).
-        affected = silver_plan.affected_conversations(batch)
-        affected = affected.persist()
+        affected = silver_plan.compute_affected(batch, self.n_buckets)
         try:
             silver_plan.refresh_silver_for_conversations(
                 self.bronze, self.silver, affected, epoch=epoch
@@ -150,18 +152,12 @@ class MedallionPipeline:
             if self.daily is not None:
                 # Dates needing recompute: any date the affected
                 # conversations had rows on before OR after the batch.
-                sbuckets = [
-                    r[0]
-                    for r in affected.select(
-                        bucket_expr("conv_id", int(self.silver.properties()["n_buckets"]))
-                    ).distinct().collect()
-                ]
                 dates = (
                     batch.where(F.col("ts").isNotNull())
                     .select(F.to_date("ts").alias("business_date"))
                     .unionByName(
-                        self.silver.read_partitions(sbuckets)
-                        .join(F.broadcast(affected), "conv_id", "left_semi")
+                        self.silver.read_partitions(affected.buckets, bounds=affected.prune())
+                        .join(F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi")
                         .select(F.to_date("ts").alias("business_date"))
                     )
                     .distinct()
@@ -170,19 +166,13 @@ class MedallionPipeline:
             t3 = time.monotonic()
         finally:
             affected.unpersist()
+            batch.unpersist()
 
         if res.applied and res.bucket_stats:
-            lineage_rows = [
+            self._pending_lineage.extend(
                 (epoch, b, res.lsn_min, res.lsn_max, up, dl, res.snapshot_version)
                 for (b, up, dl) in res.bucket_stats
-            ]
-            try:
-                self.lineage.append(
-                    self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA),
-                    epoch=("lineage", epoch),
-                )
-            except Exception:
-                pass  # lineage is observability, never fails the relay
+            )
 
         m = EpochMetrics(
             epoch=epoch,
@@ -195,18 +185,35 @@ class MedallionPipeline:
             gold_secs=t3 - t2,
             total_secs=t3 - t0,
         )
-        try:
-            self.metrics.append(
-                self.spark.createDataFrame(
-                    [(
-                        m.epoch, m.n_events, m.n_keys, m.n_upserts, m.n_deletes,
-                        m.bronze_secs, m.silver_secs, m.gold_secs, m.total_secs,
-                        m.events_per_sec,
-                    )],
-                    METRICS_SCHEMA,
-                ),
-                epoch=("metrics", epoch),
+        self._pending_metrics.append(
+            (
+                m.epoch, m.n_events, m.n_keys, m.n_upserts, m.n_deletes,
+                m.bronze_secs, m.silver_secs, m.gold_secs, m.total_secs,
+                m.events_per_sec,
             )
-        except Exception:
-            pass
+        )
         return m
+
+    def flush_observability(self) -> None:
+        """Write buffered lineage/metrics rows (one append each instead of
+        two small Spark jobs per epoch). Observability only — a crash
+        before flush loses telemetry rows, never data correctness; the
+        epoch key makes re-flush after resume idempotent."""
+        if self._pending_lineage:
+            try:
+                self.lineage.append(
+                    self.spark.createDataFrame(self._pending_lineage, LINEAGE_SCHEMA),
+                    epoch=("lineage", max(r[0] for r in self._pending_lineage)),
+                )
+            except Exception:
+                pass
+            self._pending_lineage = []
+        if self._pending_metrics:
+            try:
+                self.metrics.append(
+                    self.spark.createDataFrame(self._pending_metrics, METRICS_SCHEMA),
+                    epoch=("metrics", max(r[0] for r in self._pending_metrics)),
+                )
+            except Exception:
+                pass
+            self._pending_metrics = []

@@ -25,6 +25,8 @@ turn list is the window unit.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,7 +60,7 @@ def create_silver_table(spark: SparkSession, path: str, n_buckets: int = 16) -> 
         path,
         schema=silver_table_schema(),
         partition_by=BUCKET_COL,
-        properties={"n_buckets": n_buckets},
+        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id"]},
     )
 
 
@@ -134,45 +136,75 @@ def affected_conversations(batch: DataFrame) -> DataFrame:
     return batch.select("conv_id").distinct()
 
 
+@dataclass
+class AffectedSet:
+    """The per-epoch affected-conversation set, computed ONCE and shared
+    by every downstream refresh: a persisted (conv_id, bucket) frame, the
+    distinct bucket list, and the conv_id [min, max] for file pruning —
+    one combined aggregate job instead of one per layer."""
+
+    keys: DataFrame  # persisted; columns (conv_id, bucket)
+    buckets: list[int]
+    bounds: tuple | None
+
+    def prune(self) -> dict | None:
+        return {"conv_id": self.bounds} if self.bounds else None
+
+    def unpersist(self) -> None:
+        self.keys.unpersist()
+
+
+def compute_affected(batch: DataFrame, n_buckets: int) -> AffectedSet:
+    keyed = (
+        batch.select("conv_id").distinct()
+        .withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
+        .persist()
+    )
+    row = keyed.agg(
+        F.collect_set(BUCKET_COL), F.min("conv_id"), F.max("conv_id")
+    ).collect()[0]
+    buckets = sorted(row[0]) if row[0] else []
+    bounds = None if row[1] is None else (row[1], row[2])
+    return AffectedSet(keyed, buckets, bounds)
+
+
 def refresh_silver_for_conversations(
     bronze_table: LakeTable,
     silver_table: LakeTable,
-    conv_ids: DataFrame,
+    affected: AffectedSet,
     epoch: int,
     source: str = "silver_refresh",
 ) -> bool:
-    """Recompute enriched silver rows for the given conversations from
+    """Recompute enriched silver rows for the affected conversations from
     full bronze state and swap them in atomically. Returns False on an
     idempotent epoch skip."""
     if silver_table.last_epoch(source) >= epoch:
         return False
-    n_buckets = int(silver_table.properties()["n_buckets"])
-    keyed = conv_ids.withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets)).persist()
-    try:
-        buckets = [r[BUCKET_COL] for r in keyed.select(BUCKET_COL).distinct().collect()]
-        if not buckets:
-            silver_table.commit_epoch_noop(source, epoch, {"rows": 0})
-            return True
-        # Bronze and silver share the bucket transform, so the bronze scan
-        # prunes to the same buckets.
-        bronze_slice = bronze_table.read_partitions(buckets)
-        convs = bronze_slice.join(F.broadcast(keyed.select("conv_id")), "conv_id", "left_semi")
-        enriched = quality_exprs(enrich_conversations(convs))
-
-        target_cols = [f.name for f in silver_table.schema().fields]
-        silver_slice = silver_table.read_partitions(buckets)
-        survivors = silver_slice.join(
-            F.broadcast(keyed.select("conv_id")), "conv_id", "left_anti"
-        )
-        merged = survivors.unionByName(enriched.select(*[
-            F.col(c) if c in enriched.columns else F.lit(None).alias(c) for c in target_cols
-        ]))
-        silver_table.replace_partitions(
-            merged,
-            summary={"source": source},
-            epoch=(source, epoch),
-            partition_values=buckets,
-        )
+    if not affected.buckets:
+        silver_table.commit_epoch_noop(source, epoch, {"rows": 0})
         return True
-    finally:
-        keyed.unpersist()
+    # Bronze and silver share the bucket transform, so the bronze scan
+    # prunes to the same buckets; conv_id file bounds prune further
+    # (this is a pure SOURCE read — pruning is safe; the survivors
+    # read below must see whole buckets because they get rewritten).
+    bronze_slice = bronze_table.read_partitions(affected.buckets, bounds=affected.prune())
+    convs = bronze_slice.join(
+        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
+    )
+    enriched = quality_exprs(enrich_conversations(convs))
+
+    target_cols = [f.name for f in silver_table.schema().fields]
+    silver_slice = silver_table.read_partitions(affected.buckets)
+    survivors = silver_slice.join(
+        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_anti"
+    )
+    merged = survivors.unionByName(enriched.select(*[
+        F.col(c) if c in enriched.columns else F.lit(None).alias(c) for c in target_cols
+    ]))
+    silver_table.replace_partitions(
+        merged,
+        summary={"source": source},
+        epoch=(source, epoch),
+        partition_values=affected.buckets,
+    )
+    return True

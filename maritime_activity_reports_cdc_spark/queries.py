@@ -1,0 +1,751 @@
+"""Query catalog: SURVEY.md §2 operator coverage + training-data ops,
+each as (Spark DataFrame plan, equivalent DuckDB oracle SQL).
+
+Conventions keeping the cross-engine value-hash stable:
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (2 decimals for large sums, 6 for
+  avg/median/rates — 6 so decimal-terminating values never land on the
+  rounding boundary where HALF_UP-on-string vs binary rounding disagree);
+- counts are BIGINT on both sides (DuckDB conditional counts already are;
+  Spark casts where its default is int);
+- weekday arithmetic translated (Spark dayofweek = DuckDB dow + 1);
+- the session timezone is UTC (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from maritime_activity_reports_cdc_spark.functions import text as TXT
+from maritime_activity_reports_cdc_spark.operators import dedup as DD
+from maritime_activity_reports_cdc_spark.operators import similarity as SIM
+from maritime_activity_reports_cdc_spark.operators.apply import dedup_latest
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _epoch_us(col: str = "ts") -> F.Column:
+    """Wall-clock microseconds since epoch for TIMESTAMP_NTZ columns —
+    pure timestamp arithmetic, independent of the session timezone (the
+    parquet files carry NTZ timestamps; DuckDB's epoch_us is NTZ too)."""
+    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    description: str
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference operator parity)
+# ---------------------------------------------------------------------------
+
+def q1_lineitem_rollup(spark, sf):
+    """TPC-H Q1 shape — A4 grouped rollup (gold/table_setup.py:475-491)."""
+    li = t(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def cdc_apply_latest(spark, sf):
+    """FLAGSHIP: CDC last-write-wins apply using the engine's dedup
+    primitive over an events-derived change log (M2 analog + G1 fix)."""
+    ev = t(spark, sf, "events")
+    changes = ev.select(
+        F.col("user_id"),
+        F.pmod("event_id", F.lit(50)).alias("slot"),
+        F.when(F.pmod("event_id", F.lit(10)) == 9, "D").otherwise("U").alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.lit(0).alias("op_ordinal"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+    winners = dedup_latest(changes, keys=("user_id", "slot"), order=("lsn", "op_ordinal"))
+    return winners.where(F.col("op") != "D").select(
+        "user_id", "slot",
+        F.col("lsn").alias("event_id"),
+        F.round("value", 2).alias("value"),
+        "event_type",
+    )
+
+
+CDC_APPLY_SQL = """
+WITH ch AS (
+  SELECT user_id, event_id % 50 AS slot,
+         CASE WHEN event_id % 10 = 9 THEN 'D' ELSE 'U' END AS op,
+         event_id AS lsn, value, event_type
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, slot ORDER BY lsn DESC) AS rn
+  FROM ch
+)
+SELECT user_id, slot, lsn AS event_id, ROUND(value, 2) AS value, event_type
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def scd2_user_profile(spark, sf):
+    """SCD2 version chains via lead() — M1/M3 semantics as a query."""
+    ev = t(spark, sf, "events").where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        _epoch_us("ts").alias("valid_from_us"),
+        F.lead(_epoch_us("ts")).over(w).alias("valid_to_us"),
+        F.lead(_epoch_us("ts")).over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def dim_join_enrichment(spark, sf):
+    """J1/J5: broadcast dimension joins customer x nation x region."""
+    c, n, r = t(spark, sf, "customer"), t(spark, sf, "nation"), t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+DIM_JOIN_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def latest_event_per_user(spark, sf):
+    """W4/J3 argmax rewrite: row_number instead of self-join."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+LATEST_SQL = """
+WITH w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, ROUND(value, 2) AS value FROM w WHERE rn = 1
+"""
+
+
+def user_session_lag(spark, sf):
+    """W1/W2: lag arithmetic per user (exact microsecond gaps)."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (_epoch_us("ts") - F.lag(_epoch_us("ts")).over(w)).alias("gap_us"),
+    )
+
+
+LAG_SQL = """
+SELECT user_id, event_id,
+       lag(event_id) OVER w AS prev_event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def transition_detection(spark, sf):
+    """W3 change-point detection: event_type transitions per user."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "tr",
+        F.when(F.col("event_type") != F.lag("event_type").over(w), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("tr").cast("long").alias("n_transitions"))
+
+
+TRANSITION_SQL = """
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN event_type <> lag(event_type)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS tr
+  FROM events
+)
+SELECT user_id, CAST(SUM(tr) AS BIGINT) AS n_transitions FROM x GROUP BY user_id
+"""
+
+
+def rank_topk_customers(spark, sf):
+    """W6/O2: rank within nation + top-k filter."""
+    c, n = t(spark, sf, "customer"), t(spark, sf, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return (
+        joined.withColumn("rk", F.rank().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rk")
+    )
+
+
+RANK_SQL = """
+WITH r AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
+def journey_sequencing(spark, sf):
+    """J4 rewrite: lag() instead of sequencing self-join (SURVEY §4.2)."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w)))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+JOURNEY_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def conditional_ingest_stats(spark, sf):
+    """A3: conditional counts + distinct + min/max (bronze stats probe,
+    bronze/cdc_ingestion.py:303-315)."""
+    ev = t(spark, sf, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+STATS_SQL = """
+SELECT COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+"""
+
+
+def daily_activity_rollup(spark, sf):
+    """A4 daily rollup analog."""
+    ev = t(spark, sf, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("business_date")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+    )
+
+
+DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS business_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks
+FROM events GROUP BY 1
+"""
+
+
+def event_type_performance(spark, sf):
+    """A5 port-performance analog: bucketed/conditional measures + exact
+    median (the reference's PERCENTILE_CONT, G8-fixed to valid Spark)."""
+    ev = t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.count(F.when(F.col("value") < 5, 1)).alias("n_low"),
+        F.count(F.when(F.col("value") > 90, 1)).alias("n_high"),
+        F.count(F.when(F.dayofweek("ts").isin(1, 7), 1)).alias("weekend_events"),
+        F.count(F.when(F.hour("ts") < 6, 1)).alias("night_events"),
+    )
+
+
+PERF_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value,
+       ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+       COUNT(CASE WHEN value < 5 THEN 1 END) AS n_low,
+       COUNT(CASE WHEN value > 90 THEN 1 END) AS n_high,
+       COUNT(CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 END) AS weekend_events,
+       COUNT(CASE WHEN date_part('hour', ts) < 6 THEN 1 END) AS night_events
+FROM events GROUP BY event_type
+"""
+
+
+def user_compliance_profile(spark, sf):
+    """A6 compliance agg analog: many measures + risk CASE in one groupBy
+    (the reference ran one MERGE per vessel — G2)."""
+    ev = t(spark, sf, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        n_err.alias("n_errors"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).alias("last_error_ts"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+        ).alias("purchase_value"),
+        F.round(n_err * 1.0 / F.count("*"), 6).alias("error_rate"),
+        F.when(n_err > 30, "high").when(n_err > 15, "medium").otherwise("low").alias("risk_level"),
+    )
+
+
+COMPLIANCE_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       MAX(CASE WHEN event_type = 'error' THEN ts END) AS last_error_ts,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+       ROUND(COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / COUNT(*), 6) AS error_rate,
+       CASE WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 30 THEN 'high'
+            WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 15 THEN 'medium'
+            ELSE 'low' END AS risk_level
+FROM events GROUP BY user_id
+"""
+
+
+def quality_score_tiers(spark, sf):
+    """P6/A2: tiered scoring cascade then category histogram."""
+    ev = t(spark, sf, "events")
+    score = (
+        F.when(F.col("value") >= 50, 0.4).otherwise(0.0)
+        + F.when(F.length("props") >= 10, 0.3).otherwise(0.0)
+        + F.when(F.hour("ts") < 12, 0.3).otherwise(0.0)
+    )
+    cat = (
+        F.when(score >= 0.9, "excellent")
+        .when(score >= 0.7, "good")
+        .when(score >= 0.5, "fair")
+        .otherwise("poor")
+    )
+    return ev.select(cat.alias("quality_category")).groupBy("quality_category").agg(
+        F.count("*").alias("n")
+    )
+
+
+QUALITY_TIERS_SQL = """
+WITH s AS (
+  SELECT (CASE WHEN value >= 50 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN length(props) >= 10 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN date_part('hour', ts) < 12 THEN 0.3 ELSE 0.0 END) AS score
+  FROM events
+)
+SELECT CASE WHEN score >= 0.9 THEN 'excellent'
+            WHEN score >= 0.7 THEN 'good'
+            WHEN score >= 0.5 THEN 'fair'
+            ELSE 'poor' END AS quality_category,
+       COUNT(*) AS n
+FROM s GROUP BY 1
+"""
+
+
+def anomaly_flags(spark, sf):
+    """P7 anomaly flagging histogram."""
+    ev = t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") > 99, 1)).alias("n_value_spike"),
+        F.count(F.when(F.col("value") < 0.5, 1)).alias("n_value_floor"),
+        F.count(F.when(F.minute("ts") == 0, 1)).alias("n_on_the_hour"),
+    )
+
+
+ANOMALY_SQL = """
+SELECT event_type,
+       COUNT(CASE WHEN value > 99 THEN 1 END) AS n_value_spike,
+       COUNT(CASE WHEN value < 0.5 THEN 1 END) AS n_value_floor,
+       COUNT(CASE WHEN date_part('minute', ts) = 0 THEN 1 END) AS n_on_the_hour
+FROM events GROUP BY event_type
+"""
+
+
+def scalar_pipeline_orders(spark, sf):
+    """2.9 scalar-function families: coalesce/least/round/datediff."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg(F.least(F.col("o_totalprice"), F.lit(100000.0))), 6).alias("avg_capped_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
+        F.max(F.datediff(F.lit("2024-01-01").cast("date"), F.to_date("o_orderdate")))
+        .cast("long")
+        .alias("max_age_days"),
+    )
+
+
+SCALAR_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(LEAST(o_totalprice, 100000.0)), 6) AS avg_capped_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-01-01')) AS max_age_days
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def set_ops_cohorts(spark, sf):
+    """D-family set ops: union + distinct cohort extraction."""
+    ev = t(spark, sf, "events")
+    purchasers = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select("user_id").distinct().withColumn("cohort", F.lit("purchaser"))
+    )
+    error_prone = (
+        ev.where(F.col("event_type") == "error")
+        .select("user_id").distinct().withColumn("cohort", F.lit("error_prone"))
+    )
+    return purchasers.unionByName(error_prone).distinct()
+
+
+SETOPS_SQL = """
+SELECT DISTINCT user_id, 'purchaser' AS cohort FROM events
+WHERE event_type = 'purchase' AND value > 50
+UNION
+SELECT DISTINCT user_id, 'error_prone' AS cohort FROM events
+WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+def token_count_docs(spark, sf):
+    d = t(spark, sf, "documents")
+    n_tok = TXT.token_count("text")
+    return d.groupBy("lang").agg(
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+TOKEN_SQL = """
+SELECT lang,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_quality_scores(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.select("lang", TXT.quality_score("text").alias("q")).groupBy("lang").agg(
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.min("q"), 6).alias("min_quality"),
+        F.round(F.max("q"), 6).alias("max_quality"),
+    )
+
+
+DOCQ_SQL = """
+WITH s AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> lower(w) IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), q AS (
+  SELECT lang,
+         ROUND(LEAST(n_tok / 100.0, 1.0) * 0.5
+             + LEAST((CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok ELSE 0 END) * 5.0, 1.0) * 0.3
+             + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 10.0, 1.0)) * 0.2,
+           6) AS q
+  FROM s
+)
+SELECT lang, ROUND(AVG(q), 6) AS avg_quality, ROUND(MIN(q), 6) AS min_quality,
+       ROUND(MAX(q), 6) AS max_quality
+FROM q GROUP BY lang
+"""
+
+
+def lang_id_docs(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.select(TXT.lang_id_heuristic("text").alias("predicted")).groupBy("predicted").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+LANGID_SQL = """
+WITH s AS (
+  SELECT len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> lower(w) IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+         / len(regexp_split_to_array(trim(text), '\\s+')) AS ratio
+  FROM documents
+)
+SELECT CASE WHEN ratio >= 0.10 THEN 'en_high'
+            WHEN ratio >= 0.04 THEN 'en_like'
+            ELSE 'unknown' END AS predicted,
+       COUNT(*) AS n_docs
+FROM s GROUP BY 1
+"""
+
+
+def doc_fingerprints(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", TXT.rolling_fingerprint("text").alias("fp"))
+
+
+FP_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def dedup_exact_docs(spark, sf):
+    return DD.exact_dedup(t(spark, sf, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies FROM h GROUP BY fp
+"""
+
+
+def regex_filter_docs(spark, sf):
+    """P5 regex predicates."""
+    d = t(spark, sf, "documents")
+    return d.where(F.col("text").rlike(r"spark\s+\w+\s+join")).groupBy("lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+REGEX_SQL = """
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE regexp_matches(text, 'spark\\s+\\w+\\s+join')
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup + similarity
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_docs(spark, sf):
+    """Exact word-3-gram Jaccard pairs (blocked by lang)."""
+    pairs = DD.ngram_jaccard_pairs(
+        t(spark, sf, "documents"), block_col="lang", shingle_n=3, min_jaccard=0.03
+    )
+    return pairs.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+NGRAM_SQL = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS shingles
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+), ex AS (
+  SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS s FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_common,
+       MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+       ROUND(COUNT(*) * 1.0 / (MIN(a.n) + MIN(b.n) - COUNT(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) * 1.0 / (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.03
+"""
+
+
+def minhash_lsh_docs(spark, sf):
+    """MinHash+LSH near-dup candidates (rows-only: xxhash64 has no DuckDB
+    twin; exactness is tested against ngram_jaccard in pytest)."""
+    return DD.minhash_lsh_candidates(
+        t(spark, sf, "documents"), n_hashes=64, bands=16, min_jaccard_est=0.2
+    )
+
+
+def simhash_docs(spark, sf):
+    """SimHash fingerprints + blocking prefix (rows-only)."""
+    return DD.simhash(t(spark, sf, "documents"))
+
+
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM sims)
+SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk <= 5
+"""
+
+
+def ann_lsh_topk(spark, sf):
+    """LSH-bucketed approximate neighbors (rows-only; recall vs brute
+    force asserted in pytest)."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.lsh_topk(emb, queries, k=5, n_planes=8)
+
+
+def knn_classify_embeddings(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.knn_classify(emb, queries, k=10)
+
+
+KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid, e.label,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, nid, label, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM sims),
+votes AS (SELECT qid, label, COUNT(*) AS c FROM r WHERE rk <= 10 GROUP BY qid, label),
+best AS (SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS b
+         FROM votes)
+SELECT qid, label AS predicted_label FROM best WHERE b = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_lineitem_rollup": QuerySpec(q1_lineitem_rollup, Q1_SQL, "TPC-H Q1-shape rollup (A4)"),
+    "cdc_apply_latest": QuerySpec(cdc_apply_latest, CDC_APPLY_SQL, "flagship CDC last-write-wins apply"),
+    "scd2_user_profile": QuerySpec(scd2_user_profile, SCD2_SQL, "SCD2 version chains (M1/M3)"),
+    "dim_join_enrichment": QuerySpec(dim_join_enrichment, DIM_JOIN_SQL, "broadcast dim joins (J1/J5)"),
+    "latest_event_per_user": QuerySpec(latest_event_per_user, LATEST_SQL, "argmax via row_number (W4/J3)"),
+    "user_session_lag": QuerySpec(user_session_lag, LAG_SQL, "lag arithmetic (W1/W2)"),
+    "transition_detection": QuerySpec(transition_detection, TRANSITION_SQL, "change-point flags (W3)"),
+    "rank_topk_customers": QuerySpec(rank_topk_customers, RANK_SQL, "rank + top-k (W6)"),
+    "journey_sequencing": QuerySpec(journey_sequencing, JOURNEY_SQL, "lag rewrite of seq self-join (J4)"),
+    "conditional_ingest_stats": QuerySpec(conditional_ingest_stats, STATS_SQL, "conditional counts (A3)"),
+    "daily_activity_rollup": QuerySpec(daily_activity_rollup, DAILY_SQL, "daily rollup (A4)"),
+    "event_type_performance": QuerySpec(event_type_performance, PERF_SQL, "grouped perf metrics + median (A5/A8)"),
+    "user_compliance_profile": QuerySpec(user_compliance_profile, COMPLIANCE_SQL, "compliance agg + risk CASE (A6)"),
+    "quality_score_tiers": QuerySpec(quality_score_tiers, QUALITY_TIERS_SQL, "tiered quality scoring (P6/A2)"),
+    "anomaly_flags": QuerySpec(anomaly_flags, ANOMALY_SQL, "anomaly flag counts (P7)"),
+    "scalar_pipeline_orders": QuerySpec(scalar_pipeline_orders, SCALAR_SQL, "scalar function families (2.9)"),
+    "set_ops_cohorts": QuerySpec(set_ops_cohorts, SETOPS_SQL, "union/distinct cohorts (D1-D3)"),
+    "token_count_docs": QuerySpec(token_count_docs, TOKEN_SQL, "token counting"),
+    "doc_quality_scores": QuerySpec(doc_quality_scores, DOCQ_SQL, "doc quality scoring"),
+    "lang_id_docs": QuerySpec(lang_id_docs, LANGID_SQL, "language-ID heuristic"),
+    "doc_fingerprints": QuerySpec(doc_fingerprints, FP_SQL, "doc fingerprinting"),
+    "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_SQL, "exact dedup"),
+    "regex_filter_docs": QuerySpec(regex_filter_docs, REGEX_SQL, "regex predicate filter (P5)"),
+    "ngram_jaccard_docs": QuerySpec(ngram_jaccard_docs, NGRAM_SQL, "exact n-gram jaccard pairs"),
+    "minhash_lsh_docs": QuerySpec(minhash_lsh_docs, None, "MinHash+LSH near-dup candidates"),
+    "simhash_docs": QuerySpec(simhash_docs, None, "SimHash fingerprints"),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL, "brute-force cosine top-k"),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None, "LSH-bucketed approximate top-k"),
+    "knn_classify_embeddings": QuerySpec(knn_classify_embeddings, KNN_SQL, "kNN majority-label classify"),
+}

@@ -161,10 +161,16 @@ def generate_transcript_changes(
 
     conv_id = _conv_id(conv)
     role = _role_for(conv, F.col("turn_idx"), seed)
+    # Commit order tracks event time (real CDC is time-correlated): a
+    # conversation's turns arrive as it progresses, conversations overlap
+    # but cluster in time — so an LSN-range chunk touches a *subset* of
+    # conversations, which is what makes downstream incremental refresh
+    # (and file pruning) meaningful. lsn = event-time seconds * 2^20 + conv
+    # is unique for < 2^20 conversations.
+    ins_time = conv * 977 + F.col("turn_idx").cast("long") * 61
     inserts = turns.select(
         F.lit("I").alias("op"),
-        # interleave conversations: lsn = turn * n_conv + conv  (unique)
-        (F.col("turn_idx").cast("long") * n_conversations + conv).alias("lsn"),
+        (ins_time * 1048576 + conv % 1048576).alias("lsn"),
         F.lit(0).alias("op_ordinal"),
         conv_id.alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
@@ -174,7 +180,6 @@ def generate_transcript_changes(
         _ts_for(conv, F.col("turn_idx")).alias("ts"),
     )
 
-    insert_lsn_max = n_conversations * (turns_per_conv * (hot_factor if hot_key_pct else 1) + jitter_span + 1)
     total_turns = n_conversations * turns_per_conv
     n_updates = int(total_turns * update_ratio)
     n_deletes = int(total_turns * delete_ratio)
@@ -185,13 +190,23 @@ def generate_transcript_changes(
         t_turn = _pm(_h(seed + salt + 1, k), max(turns_per_conv, 1)).cast("int")
         return t_conv, t_turn
 
+    def _mutation_lsn(k: F.Column, t_conv: F.Column, t_turn: F.Column, salt: int):
+        """Mutations land shortly AFTER the turn they modify (temporal
+        locality: real updates/deletes follow the original event closely),
+        so an LSN-range chunk carries mutations for conversations active
+        in that window. op_ordinal = unique mutation id -> the total order
+        is unambiguous even under (rare) lsn collisions."""
+        delay = _pm(_h(seed + salt + 2, k), 900) + 30
+        mut_time = t_conv * 977 + t_turn.cast("long") * 61 + delay
+        return mut_time * 1048576 + _pm(_h(seed + salt + 3, k), 1048576)
+
     upd_k = F.col("id")
     u_conv, u_turn = _pick_target(upd_k, 100)
     u_role = _role_for(u_conv, u_turn, seed)
     updates = spark.range(0, n_updates).select(
         F.lit("U").alias("op"),
-        (F.lit(insert_lsn_max) + upd_k * 2).alias("lsn"),  # even slots
-        F.lit(0).alias("op_ordinal"),
+        _mutation_lsn(upd_k, u_conv, u_turn, 100).alias("lsn"),
+        (upd_k + 1).cast("int").alias("op_ordinal"),
         _conv_id(u_conv).alias("conv_id"),
         u_turn.alias("turn_idx"),
         u_role.alias("role"),
@@ -204,8 +219,8 @@ def generate_transcript_changes(
     d_conv, d_turn = _pick_target(del_k, 200)
     deletes = spark.range(0, n_deletes).select(
         F.lit("D").alias("op"),
-        (F.lit(insert_lsn_max) + del_k * 2 + 1).alias("lsn"),  # odd slots interleave with updates
-        F.lit(0).alias("op_ordinal"),
+        _mutation_lsn(del_k, d_conv, d_turn, 200).alias("lsn"),
+        (del_k + 1 + n_updates).cast("int").alias("op_ordinal"),
         _conv_id(d_conv).alias("conv_id"),
         d_turn.alias("turn_idx"),
         F.lit(None).cast("string").alias("role"),
@@ -215,8 +230,11 @@ def generate_transcript_changes(
     )
 
     log = inserts.unionByName(updates).unionByName(deletes)
+    # lsn's high bits are event-time seconds (see above): commit_ts is the
+    # deterministic wall time of the commit
     log = log.withColumn(
-        "commit_ts", F.timestamp_seconds(F.lit(_EPOCH0) + F.col("lsn") / 1000.0)
+        "commit_ts",
+        F.timestamp_seconds(F.lit(_EPOCH0) + F.floor(F.col("lsn") / 1048576)),
     ).select([f.name for f in CHANGE_SCHEMA.fields])
 
     if duplicate_ratio > 0:

@@ -71,6 +71,13 @@ class Snapshot:
     epochs: dict[str, int]
     # table-level properties (e.g. n_buckets), carried forward on commit.
     properties: dict[str, Any]
+    # per-file column bounds for properties["stats_cols"] (Iceberg-manifest
+    # style): rel path -> {col: [min, max]}. Enables file-level pruning.
+    file_stats: dict[str, dict[str, list]] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.file_stats is None:
+            self.file_stats = {}
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -169,16 +176,29 @@ class LakeTable:
         snap = self.snapshot(version)
         return self._read_files(snap, snap.all_files())
 
-    def read_partitions(self, values: Iterable[Any], version: int | None = None) -> DataFrame:
+    def read_partitions(
+        self,
+        values: Iterable[Any],
+        version: int | None = None,
+        bounds: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Manifest-level partition pruning: scan only the named partitions.
 
         This is the scan side of the copy-on-write merge — the file list
         never touches partitions outside the change batch, so apply cost
         scales with batch footprint, not table size.
+
+        ``bounds`` adds file-level pruning: {col: (lo, hi)} keeps only
+        files whose recorded [min, max] for ``col`` intersects [lo, hi]
+        (files without stats are kept). With time-correlated ingest this
+        skips the bulk of a bucket's historical files when refreshing
+        recently-active keys.
         """
         snap = self.snapshot(version)
         wanted = {_part_key(v) for v in values}
         files = [f for key, file_list in snap.files.items() if key in wanted for f in file_list]
+        if bounds:
+            files = [f for f in files if _stats_overlap(snap.file_stats.get(f), bounds)]
         return self._read_files(snap, files)
 
     def partition_values(self, version: int | None = None) -> list[str]:
@@ -247,6 +267,7 @@ class LakeTable:
             summary={"operation": "noop", **(summary or {})},
             epochs={**parent.epochs, source: epoch},
             properties=parent.properties,
+            file_stats=parent.file_stats,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
@@ -273,6 +294,7 @@ class LakeTable:
             summary={"operation": "add-columns", "columns": [f.name for f in added]},
             epochs=parent.epochs,
             properties=parent.properties,
+            file_stats=parent.file_stats,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
@@ -329,6 +351,19 @@ class LakeTable:
         else:  # pragma: no cover
             raise ValueError(mode)
 
+        # Per-file column bounds (Iceberg-manifest analog). Collected from
+        # parquet footers on the driver — cheap (metadata only); a real
+        # cluster deployment would gather these from write-task results.
+        stats_cols = parent.properties.get("stats_cols") or []
+        live = {f for fl in files.values() for f in fl}
+        file_stats = {f: s for f, s in parent.file_stats.items() if f in live}
+        if stats_cols:
+            for file_list in new_files.values():
+                for rel in file_list:
+                    stats = _footer_stats(os.path.join(self.path, rel), stats_cols)
+                    if stats:
+                        file_stats[rel] = stats
+
         epochs = dict(parent.epochs)
         if epoch is not None:
             epochs[epoch[0]] = epoch[1]
@@ -341,6 +376,7 @@ class LakeTable:
             summary={"operation": mode, **(summary or {})},
             epochs=epochs,
             properties=parent.properties,
+            file_stats=file_stats,
         )
         try:
             self._write_snapshot(snap, expected_parent=parent.version)
@@ -382,6 +418,52 @@ class LakeTable:
 
 def _part_key(value: Any) -> str:
     return "" if value is None else str(value)
+
+
+def _footer_stats(path: str, stats_cols: list[str]) -> dict[str, list]:
+    """Min/max per stats column from the parquet footer (no data read).
+    Only JSON-safe scalar types (str/int/float) are recorded."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(path)
+    except Exception:
+        return {}
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in stats_cols or col.statistics is None:
+                continue
+            st = col.statistics
+            if not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except Exception:
+                    continue
+            if not isinstance(lo, (str, int, float)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _stats_overlap(stats: dict[str, list] | None, bounds: dict[str, tuple]) -> bool:
+    if not stats:
+        return True  # no stats -> cannot prune
+    for col, (lo, hi) in bounds.items():
+        if col not in stats:
+            continue
+        f_lo, f_hi = stats[col]
+        if (hi is not None and f_lo > hi) or (lo is not None and f_hi < lo):
+            return False
+    return True
 
 
 def _align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:

@@ -108,6 +108,7 @@ class CheckpointedReplayer:
             self.write_checkpoint(state)
             if fail_after_epoch is not None and i >= fail_after_epoch:
                 raise RuntimeError(f"injected crash after epoch {i}")
+        self.pipeline.flush_observability()
         wall = time.monotonic() - start
         return ReplayReport(
             run_count, skip_count, events, wall, events / wall if wall > 0 else 0.0, metrics
@@ -129,10 +130,14 @@ def start_stream(
     epochs, so Spark-side batch replay after a checkpoint rollback is
     absorbed by the per-table epoch guards.
     """
+    def _relay(df, batch_id):
+        pipeline.apply_epoch(df, epoch=batch_id)
+        pipeline.flush_observability()
+
     stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(feed_dir)
-    writer = stream.writeStream.foreachBatch(
-        lambda df, batch_id: pipeline.apply_epoch(df, epoch=batch_id) and None
-    ).option("checkpointLocation", checkpoint_dir)
+    writer = stream.writeStream.foreachBatch(_relay).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif processing_time:
