@@ -32,6 +32,7 @@ Scale design (the part that must survive 100 TB / 10^10 events):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -117,6 +118,61 @@ class ApplyResult:
     bucket_stats: list[tuple[int, int, int]]
 
 
+def read_merged(
+    table: LakeTable,
+    buckets: list | None = None,
+    bounds: dict | None = None,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    order: tuple[str, ...] = DEFAULT_ORDER,
+) -> DataFrame:
+    """Merge-on-read resolved view: base ∪ delta rows, one winner per key
+    in ``order``, delete tombstones dropped. On a pure-CoW table (no
+    deltas) this short-circuits to the plain base scan — zero overhead.
+
+    The resolve is the same partial-aggregating ``max_by`` as the write
+    path, so read cost is one map-side-combined hash-agg over base+delta
+    rows of the scanned buckets — the classic MoR read tax, bounded by
+    compaction cadence.
+    """
+    values = buckets if buckets is not None else table.partition_values()
+    snap = table.snapshot()
+    has_deltas = any(snap.delta_files.get(_k) for _k in map(str, values))
+    base = table.read_partitions(values, bounds=bounds, deltas="exclude")
+    if not has_deltas:
+        return base
+    both = table.read_partitions(values, bounds=bounds, deltas="include")
+    resolved = dedup_latest(both, keys, order, strategy="agg")
+    return resolved.where((F.col("op").isNull()) | (F.col("op") != "D"))
+
+
+def compact(
+    table: LakeTable,
+    buckets: list | None = None,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    order: tuple[str, ...] = DEFAULT_ORDER,
+    summary: dict | None = None,
+) -> bool:
+    """Fold delta files back into the base for the given (default: all
+    delta-bearing) partitions — one resolve + one partition replace.
+    Returns False if there was nothing to compact."""
+    if buckets is None:
+        buckets = table.delta_partition_values()
+    else:
+        with_deltas = set(table.delta_partition_values())
+        buckets = [b for b in buckets if str(b) in with_deltas]
+    if not buckets:
+        return False
+    both = table.read_partitions(buckets, deltas="include")
+    resolved = dedup_latest(both, keys, order, strategy="agg")
+    resolved = resolved.where((F.col("op").isNull()) | (F.col("op") != "D"))
+    table.replace_partitions(
+        resolved,
+        summary={"operation_kind": "compaction", **(summary or {})},
+        partition_values=buckets,
+    )
+    return True
+
+
 def apply_changes(
     table: LakeTable,
     changes: DataFrame,
@@ -127,6 +183,7 @@ def apply_changes(
     bucket_key: str = "conv_id",
     dedup_strategy: str = "agg",
     evolve_schema: bool = True,
+    apply_mode: str = "cow",
 ) -> ApplyResult:
     """Apply one change batch (an epoch) to a bucket-partitioned table.
 
@@ -151,6 +208,54 @@ def apply_changes(
 
     winners = dedup_latest(changes, keys, order, strategy=dedup_strategy)
     winners = winners.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets))
+
+    if apply_mode == "mor":
+        # Merge-on-read: ONE Spark action — dedup + delta append fused
+        # into the write job. Lineage (rows, deletes, lsn range, buckets)
+        # comes from the parquet footers the commit just recorded, so no
+        # separate statistics pass runs (D tombstones are counted via the
+        # null-count of the row-image 'role' column).
+        try:
+            snap = table.append_deltas(
+                winners.select(*target_cols),
+                summary={"source": source},
+                epoch=(source, epoch),
+            )
+        except EpochAlreadyApplied:
+            return ApplyResult(epoch, False, None, None, None, 0, 0, 0, [], [])
+        prefix = os.path.join("data", f"c{snap.version:08d}-")
+        bucket_rows: dict[int, list[int]] = {}
+        lsn_min = lsn_max = None
+        for part_key, file_list in snap.delta_files.items():
+            for f in file_list:
+                if not f.startswith(prefix):
+                    continue
+                st = snap.file_stats.get(f, {})
+                b = int(part_key) if part_key else -1
+                rows = int(st.get("__rows", 0))
+                dels = int(st.get("__nulls_role", 0))
+                agg_row = bucket_rows.setdefault(b, [0, 0])
+                agg_row[0] += rows - dels
+                agg_row[1] += dels
+                if "lsn" in st:
+                    lo, hi = st["lsn"]
+                    lsn_min = lo if lsn_min is None else min(lsn_min, lo)
+                    lsn_max = hi if lsn_max is None else max(lsn_max, hi)
+        n_up = sum(v[0] for v in bucket_rows.values())
+        n_del = sum(v[1] for v in bucket_rows.values())
+        return ApplyResult(
+            epoch=epoch,
+            applied=True,
+            snapshot_version=snap.version,
+            lsn_min=None if lsn_min is None else int(lsn_min),
+            lsn_max=None if lsn_max is None else int(lsn_max),
+            n_keys=int(n_up + n_del),
+            n_insert_update=int(n_up),
+            n_delete=int(n_del),
+            affected_buckets=sorted(bucket_rows),
+            bucket_stats=[(b, v[0], v[1]) for b, v in sorted(bucket_rows.items())],
+        )
+
     winners = winners.persist()
     try:
         stats = (

@@ -32,7 +32,8 @@ from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
 
 
 def transcript_table_schema(extra_fields: list[T.StructField] | None = None) -> T.StructType:
-    fields = list(TRANSCRIPT_SCHEMA.fields) + [
+    # all-nullable: merge-on-read tombstones (op='D') carry a null row image
+    fields = [T.StructField(f.name, f.dataType, True) for f in TRANSCRIPT_SCHEMA.fields] + [
         T.StructField(BUCKET_COL, T.IntegerType(), False),
         # CDC provenance carried as physical columns, mirroring the
         # reference keeping _change_type/_commit_version/_commit_timestamp
@@ -46,8 +47,12 @@ def transcript_table_schema(extra_fields: list[T.StructField] | None = None) -> 
 
 
 def create_transcripts_table(
-    spark: SparkSession, path: str, n_buckets: int = 16
+    spark: SparkSession, path: str, n_buckets: int = 16, apply_mode: str = "cow"
 ) -> LakeTable:
+    """``apply_mode``: 'cow' rewrites affected buckets per batch (read-
+    optimized); 'mor' appends delta files and defers the rewrite to
+    compaction (write-optimized — the right default once batch count is
+    large relative to table turnover; see operators.apply)."""
     return LakeTable.create(
         spark,
         path,
@@ -55,7 +60,13 @@ def create_transcripts_table(
         partition_by=BUCKET_COL,
         # conv_id file bounds let downstream refreshes prune a bucket's
         # historical files when only recently-active conversations changed
-        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id"]},
+        properties={
+            "n_buckets": n_buckets,
+            # lsn: footer-derived lineage ranges; role: null-count = D
+            # tombstone count per delta file (see operators.apply MoR path)
+            "stats_cols": ["conv_id", "lsn", "role"],
+            "apply_mode": apply_mode,
+        },
     )
 
 
@@ -67,7 +78,7 @@ def apply_transcript_batch(
     dedup_strategy: str = "agg",
 ) -> ApplyResult:
     """One epoch of transcript changes -> bronze table (provenance cols
-    ride along with the row image)."""
+    ride along with the row image). Apply mode comes from the table."""
     return apply_changes(
         table,
         batch,
@@ -77,7 +88,15 @@ def apply_transcript_batch(
         order=("lsn", "op_ordinal"),
         bucket_key="conv_id",
         dedup_strategy=dedup_strategy,
+        apply_mode=table.properties().get("apply_mode", "cow"),
     )
+
+
+def read_transcripts(table: LakeTable, buckets=None, bounds=None) -> DataFrame:
+    """Resolved bronze state (handles both CoW and MoR tables)."""
+    from maritime_activity_reports_cdc_spark.operators.apply import read_merged
+
+    return read_merged(table, buckets, bounds)
 
 
 @dataclass

@@ -20,6 +20,8 @@ transcript domain.
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -153,19 +155,31 @@ def refresh_daily_rollup(
 ) -> bool:
     """Daily activity rollup (A4 analog) — incremental by business_date:
     only days present in the change batch are recomputed and replaced.
-    ``affected_dates`` None means full rebuild."""
+    ``affected_dates`` None means full rebuild.
+
+    The recompute must see ALL conversations active on the affected dates
+    (not just changed ones), so it scans by DATE, not by key — the ts
+    file bounds in the silver manifests turn that into a scan of just the
+    files overlapping the date window (time-correlated ingest keeps each
+    file's ts range narrow)."""
     if daily_table.last_epoch(source) >= epoch:
         return False
-    silver_rows = silver_table.read()
-    rows = silver_rows.withColumn("business_date", F.to_date("ts"))
     if affected_dates is not None:
         dates = [r[0] for r in affected_dates.distinct().collect()]
         if not dates:
             daily_table.commit_epoch_noop(source, epoch, {"rows": 0})
             return True
-        rows = rows.where(F.col("business_date").isin(dates))
+        lo = min(dates).isoformat()
+        hi = (max(dates) + dt.timedelta(days=1)).isoformat()
+        silver_rows = silver_table.read_partitions(
+            silver_table.partition_values(), bounds={"ts": (lo, hi)}
+        )
+        rows = silver_rows.withColumn("business_date", F.to_date("ts")).where(
+            F.col("business_date").isin(dates)
+        )
     else:
         dates = None
+        rows = silver_table.read().withColumn("business_date", F.to_date("ts"))
     rollup = rows.groupBy("business_date").agg(
         F.countDistinct("conv_id").alias("n_active_conversations"),
         F.count("*").alias("n_turns"),

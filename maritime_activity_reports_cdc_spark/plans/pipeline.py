@@ -83,6 +83,13 @@ class MedallionPipeline:
     n_buckets: int = 16
     with_gold: bool = True
     with_daily: bool = True
+    bronze_mode: str = "cow"  # 'cow' | 'mor' (write-optimized + compaction)
+    compact_every: int = 8  # MoR: fold deltas into base every N epochs
+    # Cache the change batch across the relay's passes. Off by default:
+    # deserialized caching of fat text rows costs more (JVM heap churn +
+    # GC) than re-scanning the compressed, column-pruned parquet chunk —
+    # each pass prunes to the columns it needs, which the cache defeats.
+    cache_batches: bool = False
     bronze: LakeTable = field(init=False)
     silver: LakeTable = field(init=False)
     summary: LakeTable | None = field(init=False, default=None)
@@ -95,10 +102,13 @@ class MedallionPipeline:
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, spark: SparkSession, root: str, n_buckets: int = 16,
-               with_gold: bool = True, with_daily: bool = True) -> "MedallionPipeline":
-        p = cls(spark, root, n_buckets, with_gold, with_daily)
+               with_gold: bool = True, with_daily: bool = True,
+               bronze_mode: str = "cow", compact_every: int = 8) -> "MedallionPipeline":
+        p = cls(spark, root, n_buckets, with_gold, with_daily, bronze_mode, compact_every)
         os.makedirs(root, exist_ok=True)
-        p.bronze = bronze_plan.create_transcripts_table(spark, p._p("bronze_transcripts"), n_buckets)
+        p.bronze = bronze_plan.create_transcripts_table(
+            spark, p._p("bronze_transcripts"), n_buckets, apply_mode=bronze_mode
+        )
         p.silver = silver_plan.create_silver_table(spark, p._p("silver_transcripts"), n_buckets)
         if with_gold:
             p.summary = gold_plan.create_summary_table(spark, p._p("gold_conversation_summary"), n_buckets)
@@ -114,6 +124,7 @@ class MedallionPipeline:
         p.bronze = LakeTable.load(spark, p._p("bronze_transcripts"))
         p.silver = LakeTable.load(spark, p._p("silver_transcripts"))
         p.n_buckets = int(p.bronze.properties()["n_buckets"])
+        p.bronze_mode = p.bronze.properties().get("apply_mode", "cow")
         p.with_gold = LakeTable.exists(p._p("gold_conversation_summary"))
         p.summary = (
             LakeTable.load(spark, p._p("gold_conversation_summary")) if p.with_gold else None
@@ -130,9 +141,19 @@ class MedallionPipeline:
     # ------------------------------------------------------------------
     def apply_epoch(self, batch: DataFrame, epoch: int) -> EpochMetrics:
         """The relay body: one change batch through all layers."""
-        batch = batch.persist()  # reused by bronze apply, affected-set, dates
+        if self.cache_batches:
+            batch = batch.persist()
         t0 = time.monotonic()
         res = bronze_plan.apply_transcript_batch(self.bronze, batch, epoch=epoch)
+        if (
+            self.bronze_mode == "mor"
+            and res.applied
+            and self.compact_every > 0
+            and (epoch + 1) % self.compact_every == 0
+        ):
+            from maritime_activity_reports_cdc_spark.operators.apply import compact
+
+            compact(self.bronze, summary={"epoch": epoch})
         t1 = time.monotonic()
 
         # Affected-set for downstream incremental refresh, computed ONCE
@@ -166,7 +187,8 @@ class MedallionPipeline:
             t3 = time.monotonic()
         finally:
             affected.unpersist()
-            batch.unpersist()
+            if self.cache_batches:
+                batch.unpersist()
 
         if res.applied and res.bucket_stats:
             self._pending_lineage.extend(

@@ -60,7 +60,8 @@ def create_silver_table(spark: SparkSession, path: str, n_buckets: int = 16) -> 
         path,
         schema=silver_table_schema(),
         partition_by=BUCKET_COL,
-        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id"]},
+        # ts bounds let the daily-rollup refresh prune to affected dates
+        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id", "ts"]},
     )
 
 
@@ -187,7 +188,10 @@ def refresh_silver_for_conversations(
     # prunes to the same buckets; conv_id file bounds prune further
     # (this is a pure SOURCE read — pruning is safe; the survivors
     # read below must see whole buckets because they get rewritten).
-    bronze_slice = bronze_table.read_partitions(affected.buckets, bounds=affected.prune())
+    # read_merged resolves MoR deltas when present (no-op for CoW).
+    from maritime_activity_reports_cdc_spark.operators.apply import read_merged
+
+    bronze_slice = read_merged(bronze_table, affected.buckets, bounds=affected.prune())
     convs = bronze_slice.join(
         F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
     )

@@ -714,6 +714,57 @@ SELECT qid, label AS predicted_label FROM best WHERE b = 1
 """
 
 
+def left_join_null_handling(spark, sf):
+    """J5/J7 + null-handling family: left join to a filtered dimension,
+    coalesce the misses (reference left-join enrichment,
+    gold/cdf_processor.py:253-315)."""
+    o = t(spark, sf, "orders")
+    big_cust = (
+        t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = o.join(F.broadcast(big_cust), o.o_custkey == big_cust.c_custkey, "left")
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+LEFT_JOIN_SQL = """
+SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000) c
+  ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def top_docs_per_source(spark, sf):
+    """Top-k per group (W6/O2) over documents by length."""
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+TOP_DOCS_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -736,6 +787,8 @@ QUERIES: dict[str, QuerySpec] = {
     "anomaly_flags": QuerySpec(anomaly_flags, ANOMALY_SQL, "anomaly flag counts (P7)"),
     "scalar_pipeline_orders": QuerySpec(scalar_pipeline_orders, SCALAR_SQL, "scalar function families (2.9)"),
     "set_ops_cohorts": QuerySpec(set_ops_cohorts, SETOPS_SQL, "union/distinct cohorts (D1-D3)"),
+    "left_join_null_handling": QuerySpec(left_join_null_handling, LEFT_JOIN_SQL, "left join + coalesce (J5/J7)"),
+    "top_docs_per_source": QuerySpec(top_docs_per_source, TOP_DOCS_SQL, "top-k per group (W6/O2)"),
     "token_count_docs": QuerySpec(token_count_docs, TOKEN_SQL, "token counting"),
     "doc_quality_scores": QuerySpec(doc_quality_scores, DOCQ_SQL, "doc quality scoring"),
     "lang_id_docs": QuerySpec(lang_id_docs, LANGID_SQL, "language-ID heuristic"),

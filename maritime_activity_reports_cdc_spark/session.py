@@ -50,8 +50,14 @@ def get_spark(
         # Deterministic cross-engine comparison (DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # Keep scan splits reasonable for the local bench sizes.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan split size: at production scale (files ~hundreds of MB)
+        # the Spark default 128m is right; locally our bucket files are a
+        # few MB and 128m bin-packs a whole table into one task,
+        # serializing scans — so default small here, overridable.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

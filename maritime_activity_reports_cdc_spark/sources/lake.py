@@ -74,10 +74,16 @@ class Snapshot:
     # per-file column bounds for properties["stats_cols"] (Iceberg-manifest
     # style): rel path -> {col: [min, max]}. Enables file-level pruning.
     file_stats: dict[str, dict[str, list]] = None  # type: ignore[assignment]
+    # merge-on-read delta files per partition (Iceberg v2 / Hudi MOR
+    # analog): change rows appended without rewriting the base; readers
+    # resolve base ∪ deltas by key order; compaction folds them back.
+    delta_files: dict[str, list[str]] = None  # type: ignore[assignment]
 
     def __post_init__(self):
         if self.file_stats is None:
             self.file_stats = {}
+        if self.delta_files is None:
+            self.delta_files = {}
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -171,16 +177,20 @@ class LakeTable:
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
-        """Full-table scan at a snapshot (time travel when version given)."""
+    def read(self, version: int | None = None, deltas: str = "exclude") -> DataFrame:
+        """Full-table base scan at a snapshot (time travel when version
+        given). ``deltas``: 'exclude' (base only — correct for CoW tables),
+        'include' (base ∪ delta rows, unresolved), 'only'. MoR callers
+        resolve via ``operators.apply.read_merged``."""
         snap = self.snapshot(version)
-        return self._read_files(snap, snap.all_files())
+        return self._read_files(snap, self._file_list(snap, snap.files.keys(), deltas))
 
     def read_partitions(
         self,
         values: Iterable[Any],
         version: int | None = None,
         bounds: dict[str, tuple] | None = None,
+        deltas: str = "exclude",
     ) -> DataFrame:
         """Manifest-level partition pruning: scan only the named partitions.
 
@@ -196,10 +206,24 @@ class LakeTable:
         """
         snap = self.snapshot(version)
         wanted = {_part_key(v) for v in values}
-        files = [f for key, file_list in snap.files.items() if key in wanted for f in file_list]
+        files = self._file_list(snap, wanted, deltas)
         if bounds:
             files = [f for f in files if _stats_overlap(snap.file_stats.get(f), bounds)]
         return self._read_files(snap, files)
+
+    @staticmethod
+    def _file_list(snap: Snapshot, keys: Iterable[str], deltas: str) -> list[str]:
+        keys = set(keys)
+        out: list[str] = []
+        if deltas in ("exclude", "include"):
+            out += [f for k, fl in snap.files.items() if k in keys for f in fl]
+        if deltas in ("include", "only"):
+            out += [f for k, fl in snap.delta_files.items() if k in keys for f in fl]
+        return out
+
+    def delta_partition_values(self, version: int | None = None) -> list[str]:
+        snap = self.snapshot(version)
+        return sorted(k for k, fl in snap.delta_files.items() if fl)
 
     def partition_values(self, version: int | None = None) -> list[str]:
         return sorted(self.snapshot(version).files.keys())
@@ -244,7 +268,8 @@ class LakeTable:
 
         ``partition_values`` may name partitions to drop even if the new
         frame has no rows for them (e.g. a bucket whose rows were all
-        deleted).
+        deleted). Delta files of replaced partitions are cleared (this is
+        the compaction commit in merge-on-read mode).
         """
         return self._commit(
             df,
@@ -253,6 +278,19 @@ class LakeTable:
             epoch=epoch,
             extra_replaced=partition_values,
         )
+
+    def append_deltas(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        epoch: tuple[str, int] | None = None,
+    ) -> Snapshot:
+        """Merge-on-read write: append change rows as DELTA files without
+        touching the base — O(batch) I/O per commit regardless of table
+        size (the copy-on-write rewrite is deferred to compaction).
+        Readers must resolve deltas against the base by key order (see
+        ``operators.apply.read_merged``)."""
+        return self._commit(df, mode="append_delta", summary=summary, epoch=epoch)
 
     def commit_epoch_noop(self, source: str, epoch: int, summary: dict | None = None) -> Snapshot:
         """Record an epoch with no data change (empty batch exactly-once)."""
@@ -268,6 +306,7 @@ class LakeTable:
             epochs={**parent.epochs, source: epoch},
             properties=parent.properties,
             file_stats=parent.file_stats,
+            delta_files=parent.delta_files,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
@@ -295,6 +334,7 @@ class LakeTable:
             epochs=parent.epochs,
             properties=parent.properties,
             file_stats=parent.file_stats,
+            delta_files=parent.delta_files,
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
@@ -325,8 +365,16 @@ class LakeTable:
             # Shadow copy of the partition column: partitionBy() consumes
             # the directory key but the real column stays in the files, so
             # reads are plain file-list scans with no discovery pass.
+            #
+            # Cluster rows by the partition key BEFORE the partitioned
+            # write: without it every task emits one file per partition
+            # value it sees (tasks x partitions tiny files — measured to
+            # ANTI-scale: more cores -> more files -> slower everything).
+            # With the exchange + AQE coalescing, files-per-commit ≈
+            # number of touched partitions, independent of parallelism.
             (
                 df.withColumn(_SHADOW_PARTITION_COL, F.col(part_col).cast("string"))
+                .repartition(F.col(_SHADOW_PARTITION_COL))
                 .write.partitionBy(_SHADOW_PARTITION_COL)
                 .parquet(commit_abs)
             )
@@ -336,18 +384,26 @@ class LakeTable:
             new_files = {"": _collect_flat_files(commit_abs, commit_rel)}
         new_files = {k: v for k, v in new_files.items() if v}
 
+        deltas = {k: list(v) for k, v in parent.delta_files.items()}
         if mode == "append":
             files = {k: list(v) for k, v in parent.files.items()}
             for key, file_list in new_files.items():
                 files.setdefault(key, []).extend(file_list)
+        elif mode == "append_delta":
+            files = {k: list(v) for k, v in parent.files.items()}
+            for key, file_list in new_files.items():
+                deltas.setdefault(key, []).extend(file_list)
+                files.setdefault(key, [])  # partition becomes visible
         elif mode == "overwrite":
             files = new_files
+            deltas = {}
         elif mode == "replace":
             replaced = set(new_files.keys())
             if extra_replaced is not None:
                 replaced |= {_part_key(v) for v in extra_replaced}
             files = {k: list(v) for k, v in parent.files.items() if k not in replaced}
             files.update(new_files)
+            deltas = {k: v for k, v in deltas.items() if k not in replaced}
         else:  # pragma: no cover
             raise ValueError(mode)
 
@@ -356,6 +412,7 @@ class LakeTable:
         # cluster deployment would gather these from write-task results.
         stats_cols = parent.properties.get("stats_cols") or []
         live = {f for fl in files.values() for f in fl}
+        live |= {f for fl in deltas.values() for f in fl}
         file_stats = {f: s for f, s in parent.file_stats.items() if f in live}
         if stats_cols:
             for file_list in new_files.values():
@@ -377,6 +434,7 @@ class LakeTable:
             epochs=epochs,
             properties=parent.properties,
             file_stats=file_stats,
+            delta_files=deltas,
         )
         try:
             self._write_snapshot(snap, expected_parent=parent.version)
@@ -420,9 +478,13 @@ def _part_key(value: Any) -> str:
     return "" if value is None else str(value)
 
 
-def _footer_stats(path: str, stats_cols: list[str]) -> dict[str, list]:
-    """Min/max per stats column from the parquet footer (no data read).
-    Only JSON-safe scalar types (str/int/float) are recorded."""
+def _footer_stats(path: str, stats_cols: list[str]) -> dict[str, Any]:
+    """Per-file metadata from the parquet footer (no data read): min/max
+    per stats column (JSON-safe scalars; timestamps as ISO strings), plus
+    ``__rows`` and ``__nulls_<col>`` counts. Footer-derived lineage lets
+    the MoR apply skip a whole pre-write statistics pass."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     try:
@@ -431,6 +493,7 @@ def _footer_stats(path: str, stats_cols: list[str]) -> dict[str, list]:
         return {}
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -439,6 +502,8 @@ def _footer_stats(path: str, stats_cols: list[str]) -> dict[str, list]:
             if name not in stats_cols or col.statistics is None:
                 continue
             st = col.statistics
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if not st.has_min_max:
                 continue
             lo, hi = st.min, st.max
@@ -447,20 +512,27 @@ def _footer_stats(path: str, stats_cols: list[str]) -> dict[str, list]:
                     lo, hi = lo.decode(), hi.decode()
                 except Exception:
                     continue
+            if isinstance(lo, _dt.datetime):
+                lo, hi = lo.isoformat(), hi.isoformat()
             if not isinstance(lo, (str, int, float)):
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins}
+    out: dict[str, Any] = {c: [mins[c], maxs[c]] for c in mins}
+    out["__rows"] = md.num_rows
+    for c, n in nulls.items():
+        out[f"__nulls_{c}"] = n
+    return out
 
 
-def _stats_overlap(stats: dict[str, list] | None, bounds: dict[str, tuple]) -> bool:
+def _stats_overlap(stats: dict[str, Any] | None, bounds: dict[str, tuple]) -> bool:
     if not stats:
         return True  # no stats -> cannot prune
     for col, (lo, hi) in bounds.items():
-        if col not in stats:
+        entry = stats.get(col)
+        if not isinstance(entry, list):
             continue
-        f_lo, f_hi = stats[col]
+        f_lo, f_hi = entry
         if (hi is not None and f_lo > hi) or (lo is not None and f_hi < lo):
             return False
     return True

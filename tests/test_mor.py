@@ -1,0 +1,86 @@
+"""Merge-on-read mode: delta-append apply + read-time resolution +
+compaction must be byte-equivalent to copy-on-write."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from maritime_activity_reports_cdc_spark.operators.apply import compact, read_merged
+from maritime_activity_reports_cdc_spark.plans import bronze
+from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+from maritime_activity_reports_cdc_spark.sources.generator import generate_transcript_changes
+from maritime_activity_reports_cdc_spark.streaming.runner import CheckpointedReplayer
+
+from tests.helpers import assert_states_equal, naive_replay
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    df = generate_transcript_changes(
+        spark, n_conversations=40, turns_per_conv=10, update_ratio=0.4,
+        delete_ratio=0.1, duplicate_ratio=0.1, seed=17,
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _state(df):
+    return (
+        df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+
+def test_mor_replay_matches_oracle_and_cow(spark, tmp_path, changes):
+    expected = naive_replay(changes)
+
+    mor = bronze.create_transcripts_table(spark, str(tmp_path / "mor"), n_buckets=8, apply_mode="mor")
+    bronze.replay_change_log(mor, changes, n_chunks=5)
+    assert mor.delta_partition_values(), "deltas should exist before compaction"
+    assert_states_equal(_state(read_merged(mor)), expected)
+
+    # compaction folds deltas into base; resolved state unchanged
+    assert compact(mor) is True
+    assert mor.delta_partition_values() == []
+    assert_states_equal(_state(mor.read()), expected)
+    assert_states_equal(_state(read_merged(mor)), expected)
+
+    # idempotent replay after compaction
+    stats = bronze.replay_change_log(mor, changes, n_chunks=5)
+    assert all(not r.applied for r in stats.results)
+
+
+def test_mor_interleaved_compaction(spark, tmp_path, changes):
+    """Compact between chunks — resolution across base+new deltas stays
+    correct (tombstones must survive until folded)."""
+    expected = naive_replay(changes)
+    t = bronze.create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8, apply_mode="mor")
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    step = (hi - lo) // 4 + 1
+    for i in range(4):
+        chunk = changes.where((F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step))
+        bronze.apply_transcript_batch(t, chunk, epoch=i)
+        if i == 1:
+            compact(t)
+    assert_states_equal(_state(read_merged(t)), expected)
+
+
+def test_mor_pipeline_matches_cow_pipeline(spark, tmp_path, changes):
+    cow = MedallionPipeline.create(spark, str(tmp_path / "cow"), n_buckets=4)
+    CheckpointedReplayer(cow, str(tmp_path / "ck1")).run(changes, n_chunks=4)
+
+    mor = MedallionPipeline.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, bronze_mode="mor", compact_every=3
+    )
+    CheckpointedReplayer(mor, str(tmp_path / "ck2")).run(changes, n_chunks=4)
+
+    for cols, a_df, b_df in [
+        (["conv_id", "turn_idx", "text", "n_tokens", "gap_secs"], cow.silver.read(), mor.silver.read()),
+        (["conv_id", "n_turns", "total_tokens", "risk_level"], cow.summary.read(), mor.summary.read()),
+    ]:
+        a = a_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+        b = b_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
