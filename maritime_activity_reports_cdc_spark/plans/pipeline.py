@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from maritime_activity_reports_cdc_spark.operators import scd2 as scd2_op
 from maritime_activity_reports_cdc_spark.plans import bronze as bronze_plan
 from maritime_activity_reports_cdc_spark.plans import gold as gold_plan
 from maritime_activity_reports_cdc_spark.plans import silver as silver_plan
@@ -96,8 +97,18 @@ class MedallionPipeline:
     daily: LakeTable | None = field(init=False, default=None)
     lineage: LakeTable = field(init=False)
     metrics: LakeTable = field(init=False)
+    conv_master: LakeTable | None = field(init=False, default=None)
     _pending_lineage: list = field(init=False, default_factory=list)
     _pending_metrics: list = field(init=False, default_factory=list)
+
+    CONV_META_ATTRS = T.StructType(
+        [
+            T.StructField("title", T.StringType(), True),
+            T.StructField("model", T.StringType(), True),
+            T.StructField("channel", T.StringType(), True),
+            T.StructField("owner", T.StringType(), True),
+        ]
+    )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -114,6 +125,12 @@ class MedallionPipeline:
             p.summary = gold_plan.create_summary_table(spark, p._p("gold_conversation_summary"), n_buckets)
         if with_daily:
             p.daily = gold_plan.create_daily_table(spark, p._p("gold_daily_rollup"))
+        # SCD2 conversation-master dimension (reference vessel_metadata /
+        # vessel_master flow, M1/M3) — maintained from the separate
+        # conv_meta change feed via apply_meta_epoch.
+        p.conv_master = scd2_op.create_scd2_table(
+            spark, p._p("silver_conv_master"), cls.CONV_META_ATTRS, n_buckets=n_buckets
+        )
         p.lineage = LakeTable.create(spark, p._p("_lineage"), LINEAGE_SCHEMA, properties={})
         p.metrics = LakeTable.create(spark, p._p("_metrics"), METRICS_SCHEMA, properties={})
         return p
@@ -131,12 +148,35 @@ class MedallionPipeline:
         )
         p.with_daily = LakeTable.exists(p._p("gold_daily_rollup"))
         p.daily = LakeTable.load(spark, p._p("gold_daily_rollup")) if p.with_daily else None
+        if LakeTable.exists(p._p("silver_conv_master")):
+            p.conv_master = LakeTable.load(spark, p._p("silver_conv_master"))
         p.lineage = LakeTable.load(spark, p._p("_lineage"))
         p.metrics = LakeTable.load(spark, p._p("_metrics"))
         return p
 
     def _p(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+    # ------------------------------------------------------------------
+    def apply_meta_epoch(self, meta_batch: DataFrame, epoch: int) -> bool:
+        """SCD2 relay for the conversation-metadata change feed (the
+        reference's vessel-metadata path, ``bronze/cdc_ingestion.py:71-98``
+        -> M1/M3 MERGEs). Exactly-once via the table's own epoch
+        watermark; shares the LSN space with the transcript feed."""
+        if self.conv_master is None:
+            raise RuntimeError("pipeline has no conv_master table")
+        return scd2_op.apply_scd2(self.conv_master, meta_batch, epoch=epoch)
+
+    def enriched_summary_view(self) -> DataFrame:
+        """Gold summary joined to the current conversation metadata —
+        the reference's current-records enrichment view (J1,
+        ``silver/table_setup.py:327-343``). Dimension side is broadcast."""
+        if self.summary is None or self.conv_master is None:
+            raise RuntimeError("needs gold summary + conv_master")
+        current = scd2_op.current_view(self.conv_master).select(
+            "conv_id", "title", "model", "channel", "owner"
+        )
+        return self.summary.read().join(F.broadcast(current), "conv_id", "left")
 
     # ------------------------------------------------------------------
     def apply_epoch(self, batch: DataFrame, epoch: int) -> EpochMetrics:
