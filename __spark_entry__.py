@@ -8,11 +8,16 @@ flagship CDC apply on sf0.001.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from maritime_activity_reports_cdc_spark.queries import QUERIES
+# robust to being imported from any cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from maritime_activity_reports_cdc_spark.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
