@@ -137,10 +137,13 @@ def read_merged(
     values = buckets if buckets is not None else table.partition_values()
     snap = table.snapshot()
     has_deltas = any(snap.delta_files.get(_k) for _k in map(str, values))
-    base = table.read_partitions(values, bounds=bounds, deltas="exclude")
     if not has_deltas:
-        return base
-    both = table.read_partitions(values, bounds=bounds, deltas="include")
+        # Lake-level read hides retained tombstones (op='D') by default.
+        return table.read_partitions(values, bounds=bounds, deltas="exclude")
+    # Resolution must see tombstones: a base D must beat an OLDER delta U.
+    both = table.read_partitions(
+        values, bounds=bounds, deltas="include", tombstones="include"
+    )
     resolved = dedup_latest(both, keys, order, strategy="agg")
     return resolved.where((F.col("op").isNull()) | (F.col("op") != "D"))
 
@@ -151,10 +154,18 @@ def compact(
     keys: tuple[str, ...] = DEFAULT_KEYS,
     order: tuple[str, ...] = DEFAULT_ORDER,
     summary: dict | None = None,
+    drop_tombstones_below_lsn: int | None = None,
 ) -> bool:
     """Fold delta files back into the base for the given (default: all
     delta-bearing) partitions — one resolve + one partition replace.
-    Returns False if there was nothing to compact."""
+    Returns False if there was nothing to compact.
+
+    Tombstone retention: on tables with ``retain_tombstones`` set, winning
+    D rows are kept in the compacted base so an out-of-order OLDER update
+    in a later batch cannot resurrect the key. The compaction horizon is
+    ``drop_tombstones_below_lsn``: once the caller knows no in-flight
+    batch can carry an LSN below X (e.g. the replay low-water mark), pass
+    X to physically drop tombstones older than it."""
     if buckets is None:
         buckets = table.delta_partition_values()
     else:
@@ -162,9 +173,16 @@ def compact(
         buckets = [b for b in buckets if str(b) in with_deltas]
     if not buckets:
         return False
-    both = table.read_partitions(buckets, deltas="include")
+    both = table.read_partitions(buckets, deltas="include", tombstones="include")
     resolved = dedup_latest(both, keys, order, strategy="agg")
-    resolved = resolved.where((F.col("op").isNull()) | (F.col("op") != "D"))
+    is_tomb = F.col("op").isNotNull() & (F.col("op") == "D")
+    if table.properties().get("retain_tombstones"):
+        if drop_tombstones_below_lsn is not None:
+            resolved = resolved.where(
+                ~is_tomb | (F.col(order[0]) >= F.lit(drop_tombstones_below_lsn))
+            )
+    else:
+        resolved = resolved.where(~is_tomb)
     table.replace_partitions(
         resolved,
         summary={"operation_kind": "compaction", **(summary or {})},
@@ -190,14 +208,19 @@ def apply_changes(
     The target table must be partitioned by ``BUCKET_COL`` and carry
     ``n_buckets`` in its properties (see ``plans/bronze.create_target``).
 
-    Ordering contract: batches should be applied in non-decreasing LSN
-    order (the replayer guarantees it). The version-aware resolution makes
-    replayed or overlapping batches converge regardless; the one case that
-    needs the contract is a delete followed by an out-of-order OLDER
-    update in a *later* batch (no tombstone is retained, so the stale
-    update would resurface the row).
+    Out-of-order safety: on tables with the ``retain_tombstones`` property
+    (bronze sets it), a winning D persists as a tombstone row (op='D',
+    null row image, order columns kept) instead of vanishing — so a later
+    batch carrying an OLDER update for the key loses the version
+    resolution and the key stays deleted, in both CoW and MoR modes.
+    Tombstones are invisible to lake-level reads and are physically
+    dropped by compaction/maintenance once the caller-supplied LSN horizon
+    passes (``compact(drop_tombstones_below_lsn=...)``). Without the
+    property, batches must arrive in non-decreasing LSN order (legacy
+    contract: a D winner removes the key outright).
     """
     n_buckets = int(table.properties()["n_buckets"])
+    retain_tombstones = bool(table.properties().get("retain_tombstones"))
     if table.last_epoch(source) >= epoch:
         return ApplyResult(epoch, False, None, None, None, 0, 0, 0, [], [])
 
@@ -208,13 +231,37 @@ def apply_changes(
 
     winners = dedup_latest(changes, keys, order, strategy=dedup_strategy)
     winners = winners.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets))
+    # Normalize tombstones: null the row image of D winners (keys, order
+    # and envelope stay). Makes the footer null-count of the table's
+    # `mor_tombstone_col` an exact per-file delete count and keeps stale
+    # payloads out of persisted tombstone rows.
+    winners = _null_tombstone_image(winners, keys, order)
 
     if apply_mode == "mor":
         # Merge-on-read: ONE Spark action — dedup + delta append fused
         # into the write job. Lineage (rows, deletes, lsn range, buckets)
         # comes from the parquet footers the commit just recorded, so no
-        # separate statistics pass runs (D tombstones are counted via the
-        # null-count of the row-image 'role' column).
+        # separate statistics pass runs. D tombstones are counted via the
+        # footer null-count of the table's declared `mor_tombstone_col`
+        # (a row-image column the apply nulls for D rows — see
+        # _null_tombstone_image); tables without the property fall back to
+        # an explicit (small) counting aggregate.
+        tomb_col = table.properties().get("mor_tombstone_col")
+        fallback_counts: dict[int, list[int]] | None = None
+        if tomb_col is None or tomb_col not in (
+            table.properties().get("stats_cols") or []
+        ):
+            rows = (
+                winners.groupBy(BUCKET_COL)
+                .agg(
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("_d"),
+                    F.count("*").alias("_n"),
+                )
+                .collect()
+            )
+            fallback_counts = {
+                int(r[BUCKET_COL]): [int(r["_n"] - r["_d"]), int(r["_d"])] for r in rows
+            }
         try:
             snap = table.append_deltas(
                 winners.select(*target_cols),
@@ -232,11 +279,14 @@ def apply_changes(
                     continue
                 st = snap.file_stats.get(f, {})
                 b = int(part_key) if part_key else -1
-                rows = int(st.get("__rows", 0))
-                dels = int(st.get("__nulls_role", 0))
-                agg_row = bucket_rows.setdefault(b, [0, 0])
-                agg_row[0] += rows - dels
-                agg_row[1] += dels
+                if fallback_counts is None:
+                    rows = int(st.get("__rows", 0))
+                    dels = int(st.get(f"__nulls_{tomb_col}", 0))
+                    agg_row = bucket_rows.setdefault(b, [0, 0])
+                    agg_row[0] += rows - dels
+                    agg_row[1] += dels
+                else:
+                    bucket_rows[b] = fallback_counts.get(b, [0, 0])
                 if "lsn" in st:
                     lo, hi = st["lsn"]
                     lsn_min = lo if lsn_min is None else min(lsn_min, lo)
@@ -281,14 +331,22 @@ def apply_changes(
 
         # Version-aware resolution over a single full-outer join:
         # - key only in target            -> target row survives untouched
-        # - key only in batch             -> winner inserted (unless D)
+        # - key only in batch             -> winner inserted (as a
+        #         tombstone row when D and the table retains them)
         # - both: target (lsn,op_ordinal) newer-or-equal -> target stays
         #         (makes replayed/out-of-order batches converge — the
         #         defense Delta MERGE lacks, G5), else winner replaces
-        #         (or removes, for D).
+        #         (or tombstones/removes, for D).
+        # Presence is detected via explicit marker columns added before
+        # the join — NOT inferred from order-column nullness, so target
+        # rows whose first order column is legitimately null survive.
         # The target carries the order columns as provenance, so this is
         # pure column algebra; AQE broadcasts the (small) winner side.
-        target_slice = table.read_partitions(affected)
+        # Tombstones must be read: a retained D must beat an older update.
+        target_slice = table.read_partitions(affected, tombstones="include").withColumn(
+            "_t_present", F.lit(True)
+        )
+        w_side = winners.withColumn("_w_present", F.lit(True))
         t_struct = F.struct(*[F.col(f"t.{c}").alias(c) for c in target_cols])
         w_struct = F.struct(
             *[
@@ -300,16 +358,19 @@ def apply_changes(
         )
         t_ord = F.struct(*[F.col(f"t.{o}") for o in order])
         w_ord = F.struct(*[F.col(f"w.{o}") for o in order])
-        t_present = F.col(f"t.{order[0]}").isNotNull()
-        w_present = F.col("w.op").isNotNull()
+        t_present = F.col("t._t_present").isNotNull()
+        w_present = F.col("w._w_present").isNotNull()
+        w_survives = w_present if retain_tombstones else (
+            w_present & (F.col("w.op") != "D")
+        )
         chosen = (
             F.when(t_present & (~w_present | (t_ord >= w_ord)), t_struct)
-            .when(w_present & (F.col("w.op") != "D"), w_struct)
+            .when(w_survives, w_struct)
             .otherwise(F.lit(None))
         )
         merged = (
             target_slice.alias("t")
-            .join(winners.alias("w"), on=list(keys), how="full_outer")
+            .join(w_side.alias("w"), on=list(keys), how="full_outer")
             .select(chosen.alias("_r"))
             .where(F.col("_r").isNotNull())
             .select("_r.*")
@@ -343,6 +404,26 @@ def apply_changes(
         return ApplyResult(epoch, False, None, None, None, 0, 0, 0, [], [])
     finally:
         winners.unpersist()
+
+
+def _null_tombstone_image(
+    df: DataFrame, keys: tuple[str, ...], order: tuple[str, ...]
+) -> DataFrame:
+    """Null every row-image column of D rows (keys, order columns and
+    envelope survive). Keeps stale payloads out of persisted tombstones
+    and makes footer null-counts an exact delete count."""
+    if "op" not in df.columns:
+        return df
+    keep = set(keys) | set(order) | set(ENVELOPE_COLS) | {BUCKET_COL}
+    is_del = F.col("op") == "D"
+    return df.select(
+        *[
+            F.when(is_del, F.lit(None).cast(df.schema[c].dataType)).otherwise(F.col(c)).alias(c)
+            if c not in keep
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _evolve_for_batch(table: LakeTable, changes: DataFrame, keys: tuple[str, ...]) -> None:

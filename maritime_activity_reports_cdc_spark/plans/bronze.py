@@ -66,6 +66,13 @@ def create_transcripts_table(
             # tombstone count per delta file (see operators.apply MoR path)
             "stats_cols": ["conv_id", "lsn", "role"],
             "apply_mode": apply_mode,
+            # winning deletes persist as tombstone rows (invisible to
+            # reads) so out-of-order older updates cannot resurrect keys;
+            # dropped at compaction once the replay LSN horizon passes
+            "retain_tombstones": True,
+            # row-image column whose footer null-count == per-file
+            # tombstone count (the apply nulls D row images)
+            "mor_tombstone_col": "role",
         },
     )
 

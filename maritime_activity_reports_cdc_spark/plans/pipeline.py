@@ -202,17 +202,17 @@ class MedallionPipeline:
         # always present — deletes propagate to silver/gold (G7 fix).
         affected = silver_plan.compute_affected(batch, self.n_buckets)
         try:
-            silver_plan.refresh_silver_for_conversations(
-                self.bronze, self.silver, affected, epoch=epoch
-            )
-            t2 = time.monotonic()
-            if self.summary is not None:
-                gold_plan.refresh_summary_for_conversations(
-                    self.silver, self.summary, affected, epoch=epoch
-                )
+            dates = None
             if self.daily is not None:
                 # Dates needing recompute: any date the affected
-                # conversations had rows on before OR after the batch.
+                # conversations had rows on BEFORE the batch (covers
+                # deletes and ts-moving updates — a delete-only epoch
+                # still recomputes the dates its rows vacated) plus any
+                # date carried by the batch itself (covers inserts and
+                # ts destinations). The silver scan is constructed against
+                # the PRE-refresh snapshot — read_partitions resolves the
+                # file list eagerly, so running it after the refresh
+                # below still reads pre-refresh state.
                 dates = (
                     batch.where(F.col("ts").isNotNull())
                     .select(F.to_date("ts").alias("business_date"))
@@ -223,6 +223,15 @@ class MedallionPipeline:
                     )
                     .distinct()
                 )
+            silver_plan.refresh_silver_for_conversations(
+                self.bronze, self.silver, affected, epoch=epoch
+            )
+            t2 = time.monotonic()
+            if self.summary is not None:
+                gold_plan.refresh_summary_for_conversations(
+                    self.silver, self.summary, affected, epoch=epoch
+                )
+            if self.daily is not None:
                 gold_plan.refresh_daily_rollup(self.silver, self.daily, dates, epoch=epoch)
             t3 = time.monotonic()
         finally:

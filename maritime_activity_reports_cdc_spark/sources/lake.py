@@ -138,17 +138,23 @@ class LakeTable:
 
     @classmethod
     def exists(cls, path: str) -> bool:
-        return os.path.exists(os.path.join(os.path.abspath(path), _MANIFEST_DIR, _CURRENT))
+        return cls(None, path).current_version() is not None  # type: ignore[arg-type]
 
     # ------------------------------------------------------------------
     # snapshot access
     # ------------------------------------------------------------------
     def current_version(self) -> int | None:
-        pointer = os.path.join(self._manifest_path(), _CURRENT)
-        if not os.path.exists(pointer):
+        """Highest committed version. The versioned manifest file IS the
+        commit record (created atomically via ``os.link``), so the current
+        version is derived from the manifest directory itself — two racing
+        writers can never both commit the same version (true CAS; the
+        ``_current`` pointer file is kept as a human-readable hint only)."""
+        try:
+            names = os.listdir(self._manifest_path())
+        except FileNotFoundError:
             return None
-        with open(pointer) as fh:
-            return int(fh.read().strip())
+        versions = [int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")]
+        return max(versions) if versions else None
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
@@ -177,13 +183,25 @@ class LakeTable:
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
-    def read(self, version: int | None = None, deltas: str = "exclude") -> DataFrame:
+    def read(
+        self, version: int | None = None, deltas: str = "exclude", tombstones: str = "exclude"
+    ) -> DataFrame:
         """Full-table base scan at a snapshot (time travel when version
         given). ``deltas``: 'exclude' (base only — correct for CoW tables),
         'include' (base ∪ delta rows, unresolved), 'only'. MoR callers
-        resolve via ``operators.apply.read_merged``."""
+        resolve via ``operators.apply.read_merged``.
+
+        ``tombstones``: on tables with ``retain_tombstones`` set, persisted
+        delete rows (op='D') are invisible by default — pass 'include' to
+        see them (resolution paths must)."""
         snap = self.snapshot(version)
-        return self._read_files(snap, self._file_list(snap, snap.files.keys(), deltas))
+        df = self._read_files(snap, self._file_list(snap, snap.files.keys(), deltas))
+        return self._hide_tombstones(snap, df, tombstones)
+
+    def _hide_tombstones(self, snap: Snapshot, df: DataFrame, tombstones: str) -> DataFrame:
+        if tombstones == "exclude" and snap.properties.get("retain_tombstones"):
+            df = df.where(F.col("op").isNull() | (F.col("op") != "D"))
+        return df
 
     def read_partitions(
         self,
@@ -191,6 +209,7 @@ class LakeTable:
         version: int | None = None,
         bounds: dict[str, tuple] | None = None,
         deltas: str = "exclude",
+        tombstones: str = "exclude",
     ) -> DataFrame:
         """Manifest-level partition pruning: scan only the named partitions.
 
@@ -209,7 +228,7 @@ class LakeTable:
         files = self._file_list(snap, wanted, deltas)
         if bounds:
             files = [f for f in files if _stats_overlap(snap.file_stats.get(f), bounds)]
-        return self._read_files(snap, files)
+        return self._hide_tombstones(snap, self._read_files(snap, files), tombstones)
 
     @staticmethod
     def _file_list(snap: Snapshot, keys: Iterable[str], deltas: str) -> list[str]:
@@ -460,11 +479,25 @@ class LakeTable:
         tmp = manifest + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(snap.__dict__, fh)
-        os.replace(tmp, manifest)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # Atomic create-if-absent of the fully-written manifest == the
+            # commit point (catalog CAS stand-in). Two writers that both
+            # observed the same parent race here; exactly one link succeeds,
+            # the loser gets a detected CommitConflict instead of silently
+            # overwriting the winner's commit.
+            os.link(tmp, manifest)
+        except FileExistsError:
+            raise CommitConflict(
+                f"concurrent writer committed v{snap.version} first"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        # Advisory pointer for humans/tools; correctness never reads it.
         pointer_tmp = os.path.join(self._manifest_path(), f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
         with open(pointer_tmp, "w") as fh:
             fh.write(str(snap.version))
-        # Atomic pointer swap == the commit point (catalog CAS stand-in).
         os.replace(pointer_tmp, os.path.join(self._manifest_path(), _CURRENT))
 
     def _manifest_path(self) -> str:

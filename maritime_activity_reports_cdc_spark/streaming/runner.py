@@ -60,7 +60,7 @@ class CheckpointedReplayer:
     def read_checkpoint(self) -> dict:
         path = self._ckpt_path()
         if not os.path.exists(path):
-            return {"last_epoch": -1, "lsn_high": None}
+            return {"last_epoch": -1, "lsn_high": None, "lsn_lo": None, "step": None}
         with open(path) as fh:
             return json.load(fh)
 
@@ -85,26 +85,43 @@ class CheckpointedReplayer:
         lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).collect()[0]
         if lo is None:
             return ReplayReport(0, 0, 0, 0.0, 0.0, [])
-        span = int(hi) - int(lo) + 1
-        step = max(1, (span + n_chunks - 1) // n_chunks)
+        lo = int(lo)
+        span = int(hi) - lo + 1
         state = self.read_checkpoint()
+        # Epoch boundaries are a pure function of (lsn_lo, step), PERSISTED
+        # in the checkpoint: a resume re-slices exactly the ranges the
+        # committed epochs covered even if the caller passes a different
+        # n_chunks or the log grew (new LSNs extend the chunk sequence).
+        # A log whose min LSN moved is a different stream — fail fast.
+        if state.get("step") is not None:
+            if state["lsn_lo"] != lo:
+                raise ValueError(
+                    f"checkpoint was written for a log starting at lsn "
+                    f"{state['lsn_lo']}, this log starts at {lo} — refusing "
+                    "to realign epoch boundaries"
+                )
+            step = int(state["step"])
+        else:
+            step = max(1, (span + n_chunks - 1) // n_chunks)
         start = time.monotonic()
         metrics: list[EpochMetrics] = []
         run_count = skip_count = events = 0
-        for i in range(n_chunks):
-            c_lo = int(lo) + i * step
-            if c_lo >= int(lo) + span:
+        i = -1
+        while True:
+            i += 1
+            c_lo = lo + i * step
+            if c_lo >= lo + span:
                 break
             if i <= state["last_epoch"]:
                 skip_count += 1
                 continue
-            c_hi = min(c_lo + step, int(lo) + span)
+            c_hi = min(c_lo + step, lo + span)
             chunk = changes.where((F.col("lsn") >= c_lo) & (F.col("lsn") < c_hi))
             m = self.pipeline.apply_epoch(chunk, epoch=i)
             metrics.append(m)
             run_count += 1
             events += m.n_keys
-            state = {"last_epoch": i, "lsn_high": c_hi - 1}
+            state = {"last_epoch": i, "lsn_high": c_hi - 1, "lsn_lo": lo, "step": step}
             self.write_checkpoint(state)
             if fail_after_epoch is not None and i >= fail_after_epoch:
                 raise RuntimeError(f"injected crash after epoch {i}")

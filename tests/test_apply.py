@@ -124,6 +124,56 @@ def test_same_key_multi_change_in_one_batch(spark, tmp_path):
     assert {(r.conv_id, r.turn_idx, r.text) for r in state} == {("c1", 0, "v3")}
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_out_of_order_older_update_cannot_resurrect_deleted_key(spark, tmp_path, mode):
+    """Persistent tombstones: a D at lsn=20 applied in epoch 0 must keep
+    the key dead when a LATER batch carries an older U at lsn=10 — in CoW
+    (tombstone row retained in the base) and MoR (tombstone survives
+    compaction) modes alike. Removes the old 'non-decreasing LSN order'
+    apply contract."""
+    import datetime as dt
+
+    from maritime_activity_reports_cdc_spark.operators.apply import compact
+    from maritime_activity_reports_cdc_spark.sources.generator import CHANGE_SCHEMA
+
+    ts = dt.datetime(2025, 1, 1)
+    epoch0 = spark.createDataFrame(
+        [
+            ("I", 5, 0, ts, "c1", 0, "user", "v0", None, ts),
+            ("D", 20, 0, ts, "c1", 0, None, None, None, None),
+            ("I", 6, 0, ts, "c2", 0, "user", "keep", None, ts),
+        ],
+        CHANGE_SCHEMA,
+    )
+    epoch1 = spark.createDataFrame(
+        [("U", 10, 0, ts, "c1", 0, "user", "stale", None, ts)], CHANGE_SCHEMA
+    )
+    table = bronze.create_transcripts_table(
+        spark, str(tmp_path / "t"), n_buckets=4, apply_mode=mode
+    )
+    bronze.apply_transcript_batch(table, epoch0, epoch=0)
+    if mode == "mor":
+        compact(table)  # tombstone must survive the fold into the base
+    bronze.apply_transcript_batch(table, epoch1, epoch=1)
+    state = {(r.conv_id, r.turn_idx): r.text for r in bronze.read_transcripts(table).collect()}
+    assert state == {("c2", 0): "keep"}, state
+    # and lake-level reads never surface the tombstone row
+    assert table.read().where(F.col("conv_id") == "c1").count() == 0
+    # the tombstone IS physically present until the horizon passes ...
+    raw = table.read(deltas="include", tombstones="include")
+    assert raw.where((F.col("conv_id") == "c1") & (F.col("op") == "D")).count() >= 1
+    # ... and compaction with a passed LSN horizon physically drops it
+    if mode == "mor":
+        bronze.apply_transcript_batch(
+            table,
+            spark.createDataFrame([("U", 30, 0, ts, "c2", 0, "user", "keep2", None, ts)], CHANGE_SCHEMA),
+            epoch=2,
+        )
+        compact(table, drop_tombstones_below_lsn=21)
+        raw2 = table.read(deltas="include", tombstones="include")
+        assert raw2.where(F.col("op") == "D").count() == 0
+
+
 def test_empty_batch_commits_epoch(spark, tmp_path, changes):
     table = bronze.create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
     empty = changes.where(F.lit(False))

@@ -90,6 +90,26 @@ def test_update_and_delete_ripple_to_gold(spark, tmp_path, tiny_batch):
     assert daily[dt.date(2025, 3, 1)].n_turns == 4
 
 
+def test_delete_only_epoch_shrinks_daily_rollup(spark, tmp_path, tiny_batch):
+    """A delete-only epoch must recompute the dates its rows vacated:
+    tombstoned turns contribute no ts, so the affected-date set comes from
+    the PRE-refresh silver state of the affected conversations (the
+    post-refresh state no longer has the rows)."""
+    p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
+    day2 = dt.datetime(2025, 3, 2, 9, 0, 0)
+    extra = [("I", 6, 0, T0, "cC", 0, "user", "day two text", None, day2)]
+    batch0 = tiny_batch.unionByName(spark.createDataFrame(extra, CHANGE_SCHEMA))
+    p.apply_epoch(batch0, epoch=0)
+    daily = {r.business_date: r for r in p.daily.read().collect()}
+    assert daily[dt.date(2025, 3, 2)].n_turns == 1
+
+    delete_only = [("D", 10, 0, T0, "cC", 0, None, None, None, None)]
+    p.apply_epoch(spark.createDataFrame(delete_only, CHANGE_SCHEMA), epoch=1)
+    daily2 = {r.business_date: r for r in p.daily.read().collect()}
+    assert dt.date(2025, 3, 2) not in daily2      # vacated date dropped
+    assert daily2[dt.date(2025, 3, 1)].n_turns == 5  # other date untouched
+
+
 def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
     changes = generate_transcript_changes(
         spark, n_conversations=30, turns_per_conv=8, update_ratio=0.3,
