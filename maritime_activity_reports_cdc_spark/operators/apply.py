@@ -129,10 +129,11 @@ def read_merged(
     in ``order``, delete tombstones dropped. On a pure-CoW table (no
     deltas) this short-circuits to the plain base scan — zero overhead.
 
-    The resolve is the same partial-aggregating ``max_by`` as the write
-    path, so read cost is one map-side-combined hash-agg over base+delta
-    rows of the scanned buckets — the classic MoR read tax, bounded by
-    compaction cadence.
+    The base is never shuffled: keys present in delta files are isolated
+    with a broadcast semi/anti split, so resolve cost is O(delta rows +
+    their base rows) — bounded by compaction cadence — instead of a
+    hash-agg over every scanned bucket. The delta-key broadcast is small
+    for the same reason (compaction triggers bound the delta backlog).
     """
     values = buckets if buckets is not None else table.partition_values()
     snap = table.snapshot()
@@ -141,10 +142,14 @@ def read_merged(
         # Lake-level read hides retained tombstones (op='D') by default.
         return table.read_partitions(values, bounds=bounds, deltas="exclude")
     # Resolution must see tombstones: a base D must beat an OLDER delta U.
-    both = table.read_partitions(
-        values, bounds=bounds, deltas="include", tombstones="include"
+    base = table.read_partitions(values, bounds=bounds, tombstones="include")
+    delta = table.read_partitions(values, deltas="only", tombstones="include")
+    contested_keys = delta.select(*keys).distinct()
+    clean = base.join(F.broadcast(contested_keys), list(keys), "left_anti")
+    contested = base.join(F.broadcast(contested_keys), list(keys), "left_semi").unionByName(
+        delta
     )
-    resolved = dedup_latest(both, keys, order, strategy="agg")
+    resolved = clean.unionByName(dedup_latest(contested, keys, order, strategy="agg"))
     return resolved.where((F.col("op").isNull()) | (F.col("op") != "D"))
 
 
@@ -189,6 +194,70 @@ def compact(
         partition_values=buckets,
     )
     return True
+
+
+def rewrite_files(
+    table: LakeTable,
+    sort_by: tuple[str, ...] = DEFAULT_KEYS,
+    partition_values: list | None = None,
+    drop_tombstones_below_lsn: int | None = None,
+    order: tuple[str, ...] = DEFAULT_ORDER,
+    target_file_rows: int | None = None,
+) -> int:
+    """File-layout maintenance for long-lived CoW tables — the engine's
+    ``OPTIMIZE ... ZORDER BY`` analog (reference
+    ``silver/table_setup.py:276-291``, ``gold/table_setup.py:364-382``):
+    coalesce the small files each commit accretes and rewrite every
+    partition clustered by ``sort_by``, so per-file min/max stats stay
+    tight and bounds-pruning keeps working as the table ages. Optionally
+    drops retained delete tombstones older than the caller's LSN horizon.
+
+    Outstanding key-MoR deltas of the rewritten partitions are resolved
+    (compacted) in the same pass — never copied into the base raw. NOT
+    for generation-MoR tables (use ``mor.compact_generations``).
+
+    One shuffle + one partition replace; returns the number of rewritten
+    partitions. Run it as maintenance cadence, not per epoch."""
+    values = (
+        partition_values if partition_values is not None else table.partition_values()
+    )
+    if not values:
+        return 0
+    has_deltas = any(
+        table.snapshot().delta_files.get(str(v)) for v in values
+    )
+    df = table.read_partitions(values, deltas="include", tombstones="include")
+    if has_deltas:
+        df = dedup_latest(df, DEFAULT_KEYS, order, strategy="agg")
+        if not table.properties().get("retain_tombstones"):
+            df = df.where(F.col("op").isNull() | (F.col("op") != "D"))
+    if drop_tombstones_below_lsn is not None and "op" in df.columns:
+        is_old_tomb = (
+            F.col("op").isNotNull()
+            & (F.col("op") == "D")
+            & (F.col(order[0]) < F.lit(drop_tombstones_below_lsn))
+        )
+        df = df.where(~is_old_tomb)
+    part_col = table.snapshot().partition_by
+    if part_col is not None:
+        df = df.repartition(F.col(part_col)).sortWithinPartitions(*sort_by)
+    else:
+        df = df.sortWithinPartitions(*sort_by)
+    # ``target_file_rows`` splits each sorted partition into bounded
+    # files whose per-file [min, max] stats cover DISJOINT sort-key
+    # ranges — this is what keeps bounds-pruning effective as buckets
+    # grow (at 100 TB: files sized ~512 MB, conv_id ranges tight).
+    write_options = (
+        {"maxRecordsPerFile": str(int(target_file_rows))} if target_file_rows else None
+    )
+    table.replace_partitions(
+        df,
+        summary={"operation_kind": "rewrite", "sort_by": list(sort_by)},
+        partition_values=values,
+        pre_partitioned=True,
+        write_options=write_options,
+    )
+    return len(values)
 
 
 def apply_changes(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from maritime_activity_reports_cdc_spark.operators import mor
 from maritime_activity_reports_cdc_spark.operators.apply import BUCKET_COL, bucket_expr
 from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
 
@@ -49,6 +50,7 @@ SUMMARY_SCHEMA = T.StructType(
         T.StructField("risk_level", T.StringType(), True),
         T.StructField(BUCKET_COL, T.IntegerType(), False),
     ]
+    + mor.GEN_FIELDS
 )
 
 DAILY_SCHEMA = T.StructType(
@@ -60,21 +62,43 @@ DAILY_SCHEMA = T.StructType(
         T.StructField("total_tokens", T.LongType(), True),
         T.StructField("avg_quality", T.DoubleType(), True),
     ]
+    + mor.GEN_FIELDS
 )
 
 
-def create_summary_table(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
+def create_summary_table(
+    spark: SparkSession, path: str, n_buckets: int = 16, layer_mode: str = "cow"
+) -> LakeTable:
     return LakeTable.create(
         spark, path, SUMMARY_SCHEMA, partition_by=BUCKET_COL,
-        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id"]},
+        properties={
+            "n_buckets": n_buckets,
+            "stats_cols": ["conv_id"],
+            "layer_mode": layer_mode,
+        },
     )
 
 
-def create_daily_table(spark: SparkSession, path: str) -> LakeTable:
+def create_daily_table(
+    spark: SparkSession, path: str, layer_mode: str = "cow"
+) -> LakeTable:
     # Partitioned by day — the reference's gold partition scheme
-    # (``gold/table_setup.py:94``); rollup refresh replaces whole days.
+    # (``gold/table_setup.py:94``); rollup refresh replaces whole days
+    # (CoW) or appends generation-tagged day rows resolved on read (MoR).
     return LakeTable.create(spark, path, DAILY_SCHEMA, partition_by="business_date",
-                            properties={})
+                            properties={"layer_mode": layer_mode})
+
+
+def read_summary(summary_table: LakeTable, buckets=None) -> DataFrame:
+    if summary_table.properties().get("layer_mode") == "mor":
+        return mor.read_resolved(summary_table, ["conv_id"], buckets)
+    return summary_table.read() if buckets is None else summary_table.read_partitions(buckets)
+
+
+def read_daily(daily_table: LakeTable) -> DataFrame:
+    if daily_table.properties().get("layer_mode") == "mor":
+        return mor.read_resolved(daily_table, ["business_date"])
+    return daily_table.read()
 
 
 def conversation_summary(silver_rows: DataFrame) -> DataFrame:
@@ -113,23 +137,39 @@ def refresh_summary_for_conversations(
     affected,
     epoch: int,
     source: str = "gold_summary",
+    enriched: DataFrame | None = None,
 ) -> bool:
     """Incremental recompute of exactly the affected conversations'
     summaries (agg-then-merge, M6 — minus the per-key driver loop).
-    ``affected`` is a ``silver.AffectedSet`` (shared across layers)."""
+    ``affected`` is a ``silver.AffectedSet`` (shared across layers).
+
+    ``enriched`` — the silver refresh's freshly computed rows for the
+    affected conversations — IS this refresh's aggregation input; passing
+    it (persisted) skips the silver re-read entirely and removes the
+    cross-layer commit dependency."""
     if summary_table.last_epoch(source) >= epoch:
         return False
     n_buckets = int(summary_table.properties()["n_buckets"])
     if not affected.buckets:
         summary_table.commit_epoch_noop(source, epoch, {"rows": 0})
         return True
-    silver_slice = silver_table.read_partitions(affected.buckets, bounds=affected.prune())
-    affected_rows = silver_slice.join(
-        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
-    )
-    fresh = conversation_summary(affected_rows).withColumn(
+    if enriched is None:
+        from maritime_activity_reports_cdc_spark.plans.silver import read_silver
+
+        silver_slice = read_silver(silver_table, affected.buckets, bounds=affected.prune())
+        enriched = silver_slice.join(
+            F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
+        )
+    fresh = conversation_summary(enriched).withColumn(
         BUCKET_COL, bucket_expr("conv_id", n_buckets)
     )
+    if summary_table.properties().get("layer_mode") == "mor":
+        # One delta append: fresh summaries + per-conv generation markers.
+        # A conversation fully deleted upstream has a marker but no fresh
+        # row, so it resolves to nothing on read.
+        mor.append_generation(summary_table, fresh, affected.keys, epoch, source)
+        return True
+    fresh = mor.stamp_generation(fresh, epoch, rank=1)
     target_cols = [f.name for f in summary_table.schema().fields]
     summary_slice = summary_table.read_partitions(affected.buckets)
     survivors = summary_slice.join(
@@ -162,6 +202,8 @@ def refresh_daily_rollup(
     file bounds in the silver manifests turn that into a scan of just the
     files overlapping the date window (time-correlated ingest keeps each
     file's ts range narrow)."""
+    from maritime_activity_reports_cdc_spark.plans.silver import read_silver
+
     if daily_table.last_epoch(source) >= epoch:
         return False
     if affected_dates is not None:
@@ -171,15 +213,16 @@ def refresh_daily_rollup(
             return True
         lo = min(dates).isoformat()
         hi = (max(dates) + dt.timedelta(days=1)).isoformat()
-        silver_rows = silver_table.read_partitions(
-            silver_table.partition_values(), bounds={"ts": (lo, hi)}
-        )
+        # ts bounds prune silver BASE files only (delta generations must
+        # be read whole — see mor.read_resolved); safe because base rows
+        # of one conversation are single-generation after compaction.
+        silver_rows = read_silver(silver_table, bounds={"ts": (lo, hi)})
         rows = silver_rows.withColumn("business_date", F.to_date("ts")).where(
             F.col("business_date").isin(dates)
         )
     else:
         dates = None
-        rows = silver_table.read().withColumn("business_date", F.to_date("ts"))
+        rows = read_silver(silver_table).withColumn("business_date", F.to_date("ts"))
     rollup = rows.groupBy("business_date").agg(
         F.countDistinct("conv_id").alias("n_active_conversations"),
         F.count("*").alias("n_turns"),
@@ -187,6 +230,14 @@ def refresh_daily_rollup(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+    if daily_table.properties().get("layer_mode") == "mor" and dates is not None:
+        spark = silver_rows.sparkSession
+        marker_keys = spark.createDataFrame(
+            [(d,) for d in dates], T.StructType([T.StructField("business_date", T.DateType(), False)])
+        )
+        mor.append_generation(daily_table, rollup, marker_keys, epoch, source)
+        return True
+    rollup = mor.stamp_generation(rollup, epoch, rank=1)
     if dates is None:
         daily_table.overwrite(rollup, summary={"source": source}, epoch=(source, epoch))
     else:
@@ -204,7 +255,7 @@ def top_conversations_view(summary_table: LakeTable, k: int = 10) -> DataFrame:
 
     w = Window.partitionBy("risk_level").orderBy(F.desc("n_turns"), "conv_id")
     return (
-        summary_table.read()
+        read_summary(summary_table)
         .withColumn("rank_in_risk", F.rank().over(w))
         .where(F.col("rank_in_risk") <= k)
         .orderBy("risk_level", "rank_in_risk")

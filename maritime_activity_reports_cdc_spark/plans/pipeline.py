@@ -86,6 +86,25 @@ class MedallionPipeline:
     with_daily: bool = True
     bronze_mode: str = "cow"  # 'cow' | 'mor' (write-optimized + compaction)
     compact_every: int = 8  # MoR: fold deltas into base every N epochs
+    # Derived layers: 'cow' rewrites affected buckets per epoch (read-
+    # optimized), 'mor' appends generation deltas (write-optimized; the
+    # production default for high-frequency microbatches — epoch I/O is
+    # O(batch) on every layer instead of O(affected buckets)).
+    layer_mode: str = "cow"
+    # Fold deltas into the base once any partition's delta DEPTH (files a
+    # single-partition reader must resolve — the read-tax proxy) reaches
+    # this bound; fires independently of the epoch cadence.
+    compact_delta_depth: int = 8
+    # Run the gold summary and daily refreshes concurrently (separate
+    # tables, both downstream of the silver write) — overlaps their
+    # driver-side plan/commit serial fractions.
+    parallel_layers: bool = True
+    # Persist the per-epoch enriched frame and feed it to the gold
+    # summary agg directly. OFF by default — measured SLOWER here:
+    # caching materializes fat text rows, while letting gold re-read the
+    # committed silver slice keeps Parquet column pruning (the summary
+    # agg never touches text, so the re-read is a thin-column scan).
+    persist_enriched: bool = False
     # Cache the change batch across the relay's passes. Off by default:
     # deserialized caching of fat text rows costs more (JVM heap churn +
     # GC) than re-scanning the compressed, column-pruned parquet chunk —
@@ -114,17 +133,26 @@ class MedallionPipeline:
     @classmethod
     def create(cls, spark: SparkSession, root: str, n_buckets: int = 16,
                with_gold: bool = True, with_daily: bool = True,
-               bronze_mode: str = "cow", compact_every: int = 8) -> "MedallionPipeline":
-        p = cls(spark, root, n_buckets, with_gold, with_daily, bronze_mode, compact_every)
+               bronze_mode: str = "cow", compact_every: int = 8,
+               layer_mode: str = "cow",
+               compact_delta_depth: int = 8) -> "MedallionPipeline":
+        p = cls(spark, root, n_buckets, with_gold, with_daily, bronze_mode,
+                compact_every, layer_mode, compact_delta_depth)
         os.makedirs(root, exist_ok=True)
         p.bronze = bronze_plan.create_transcripts_table(
             spark, p._p("bronze_transcripts"), n_buckets, apply_mode=bronze_mode
         )
-        p.silver = silver_plan.create_silver_table(spark, p._p("silver_transcripts"), n_buckets)
+        p.silver = silver_plan.create_silver_table(
+            spark, p._p("silver_transcripts"), n_buckets, layer_mode=layer_mode
+        )
         if with_gold:
-            p.summary = gold_plan.create_summary_table(spark, p._p("gold_conversation_summary"), n_buckets)
+            p.summary = gold_plan.create_summary_table(
+                spark, p._p("gold_conversation_summary"), n_buckets, layer_mode=layer_mode
+            )
         if with_daily:
-            p.daily = gold_plan.create_daily_table(spark, p._p("gold_daily_rollup"))
+            p.daily = gold_plan.create_daily_table(
+                spark, p._p("gold_daily_rollup"), layer_mode=layer_mode
+            )
         # SCD2 conversation-master dimension (reference vessel_metadata /
         # vessel_master flow, M1/M3) — maintained from the separate
         # conv_meta change feed via apply_meta_epoch.
@@ -142,6 +170,7 @@ class MedallionPipeline:
         p.silver = LakeTable.load(spark, p._p("silver_transcripts"))
         p.n_buckets = int(p.bronze.properties()["n_buckets"])
         p.bronze_mode = p.bronze.properties().get("apply_mode", "cow")
+        p.layer_mode = p.silver.properties().get("layer_mode", "cow")
         p.with_gold = LakeTable.exists(p._p("gold_conversation_summary"))
         p.summary = (
             LakeTable.load(spark, p._p("gold_conversation_summary")) if p.with_gold else None
@@ -176,7 +205,21 @@ class MedallionPipeline:
         current = scd2_op.current_view(self.conv_master).select(
             "conv_id", "title", "model", "channel", "owner"
         )
-        return self.summary.read().join(F.broadcast(current), "conv_id", "left")
+        return self.read_summary().join(F.broadcast(current), "conv_id", "left")
+
+    # -- resolved state views (mode-aware: CoW base scan or MoR resolve) --
+    def read_silver(self) -> DataFrame:
+        return silver_plan.read_silver(self.silver)
+
+    def read_summary(self) -> DataFrame:
+        if self.summary is None:
+            raise RuntimeError("pipeline has no gold summary table")
+        return gold_plan.read_summary(self.summary)
+
+    def read_daily(self) -> DataFrame:
+        if self.daily is None:
+            raise RuntimeError("pipeline has no daily rollup table")
+        return gold_plan.read_daily(self.daily)
 
     # ------------------------------------------------------------------
     def apply_epoch(self, batch: DataFrame, epoch: int) -> EpochMetrics:
@@ -185,11 +228,8 @@ class MedallionPipeline:
             batch = batch.persist()
         t0 = time.monotonic()
         res = bronze_plan.apply_transcript_batch(self.bronze, batch, epoch=epoch)
-        if (
-            self.bronze_mode == "mor"
-            and res.applied
-            and self.compact_every > 0
-            and (epoch + 1) % self.compact_every == 0
+        if self.bronze_mode == "mor" and res.applied and self._compaction_due(
+            self.bronze, epoch
         ):
             from maritime_activity_reports_cdc_spark.operators.apply import compact
 
@@ -201,6 +241,7 @@ class MedallionPipeline:
         # the row image is null, but conv_id is part of the key so it is
         # always present — deletes propagate to silver/gold (G7 fix).
         affected = silver_plan.compute_affected(batch, self.n_buckets)
+        enriched = None
         try:
             dates = None
             if self.daily is not None:
@@ -210,32 +251,70 @@ class MedallionPipeline:
                 # still recomputes the dates its rows vacated) plus any
                 # date carried by the batch itself (covers inserts and
                 # ts destinations). The silver scan is constructed against
-                # the PRE-refresh snapshot — read_partitions resolves the
-                # file list eagerly, so running it after the refresh
-                # below still reads pre-refresh state.
+                # the PRE-refresh snapshot — the readers resolve the file
+                # list eagerly, so running it after the refresh below
+                # still reads pre-refresh state.
                 dates = (
                     batch.where(F.col("ts").isNotNull())
                     .select(F.to_date("ts").alias("business_date"))
                     .unionByName(
-                        self.silver.read_partitions(affected.buckets, bounds=affected.prune())
+                        silver_plan.read_silver(
+                            self.silver, affected.buckets, bounds=affected.prune()
+                        )
                         .join(F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi")
                         .select(F.to_date("ts").alias("business_date"))
                     )
                     .distinct()
                 )
+            # Fresh silver rows for the affected conversations — computed
+            # ONCE, persisted, and fed to both the silver write and the
+            # gold summary agg (no silver re-read between layers).
+            if affected.buckets:
+                enriched = silver_plan.build_enriched(self.bronze, affected)
+                if self.summary is not None and self.persist_enriched:
+                    enriched = enriched.persist()
             silver_plan.refresh_silver_for_conversations(
-                self.bronze, self.silver, affected, epoch=epoch
+                self.bronze, self.silver, affected, epoch=epoch, enriched=enriched
             )
             t2 = time.monotonic()
-            if self.summary is not None:
-                gold_plan.refresh_summary_for_conversations(
-                    self.silver, self.summary, affected, epoch=epoch
-                )
-            if self.daily is not None:
-                gold_plan.refresh_daily_rollup(self.silver, self.daily, dates, epoch=epoch)
+
+            # Only feed the cached frame to gold when it actually IS
+            # cached; otherwise gold re-reads the committed silver slice
+            # (thin-column scan — Parquet never reads text for the agg).
+            enriched_for_gold = enriched if self.persist_enriched else None
+
+            def _summary():
+                if self.summary is not None:
+                    gold_plan.refresh_summary_for_conversations(
+                        self.silver, self.summary, affected, epoch=epoch,
+                        enriched=enriched_for_gold,
+                    )
+
+            def _daily():
+                if self.daily is not None:
+                    gold_plan.refresh_daily_rollup(self.silver, self.daily, dates, epoch=epoch)
+
+            if self.parallel_layers and self.summary is not None and self.daily is not None:
+                # Both are pure downstream consumers of committed state
+                # (summary: the persisted enriched frame; daily: the just-
+                # committed silver snapshot) writing to DIFFERENT tables —
+                # running them on two driver threads overlaps their plan
+                # analysis, job scheduling and commit serial fractions.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fs = [pool.submit(_summary), pool.submit(_daily)]
+                    for f in fs:
+                        f.result()
+            else:
+                _summary()
+                _daily()
             t3 = time.monotonic()
+            self._maybe_compact_layers(epoch)
         finally:
             affected.unpersist()
+            if enriched is not None and self.summary is not None and self.persist_enriched:
+                enriched.unpersist()
             if self.cache_batches:
                 batch.unpersist()
 
@@ -264,6 +343,50 @@ class MedallionPipeline:
             )
         )
         return m
+
+    def _compaction_due(self, table: LakeTable, epoch: int) -> bool:
+        """Compaction trigger: delta FILE load threshold (the real bound
+        on the MoR read tax) OR the epoch cadence — whichever fires
+        first. The cadence alone let read cost grow unboundedly when
+        epochs were configured infrequent-compact (round-1 defect)."""
+        from maritime_activity_reports_cdc_spark.operators.mor import delta_load
+
+        n_files, depth, _ = delta_load(table)
+        if n_files == 0:
+            return False
+        if depth >= self.compact_delta_depth:
+            return True
+        return self.compact_every > 0 and (epoch + 1) % self.compact_every == 0
+
+    def _maybe_compact_layers(self, epoch: int) -> None:
+        if self.layer_mode != "mor":
+            return
+        from maritime_activity_reports_cdc_spark.operators import mor as mor_op
+
+        for table, group in (
+            (self.silver, ["conv_id"]),
+            (self.summary, ["conv_id"]),
+            (self.daily, ["business_date"]),
+        ):
+            if table is not None and self._compaction_due(table, epoch):
+                mor_op.compact_generations(table, group, summary={"epoch": epoch})
+
+    def compact_all(self) -> None:
+        """Fold every table's outstanding deltas (end-of-replay/cron
+        maintenance): restores pure read-optimized state."""
+        from maritime_activity_reports_cdc_spark.operators import mor as mor_op
+        from maritime_activity_reports_cdc_spark.operators.apply import compact
+
+        if self.bronze_mode == "mor":
+            compact(self.bronze)
+        if self.layer_mode == "mor":
+            for table, group in (
+                (self.silver, ["conv_id"]),
+                (self.summary, ["conv_id"]),
+                (self.daily, ["business_date"]),
+            ):
+                if table is not None:
+                    mor_op.compact_generations(table, group)
 
     def flush_observability(self) -> None:
         """Write buffered lineage/metrics rows (one append each instead of

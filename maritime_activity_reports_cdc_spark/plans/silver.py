@@ -39,6 +39,8 @@ VALID_ROLES = ("user", "assistant", "system", "tool")
 
 
 def silver_table_schema() -> T.StructType:
+    from maritime_activity_reports_cdc_spark.operators.mor import GEN_FIELDS
+
     base = bronze_plan.transcript_table_schema()
     extra = [
         T.StructField("text_len", T.IntegerType(), True),
@@ -51,18 +53,39 @@ def silver_table_schema() -> T.StructType:
         T.StructField("quality_category", T.StringType(), True),
         T.StructField("is_anomalous", T.BooleanType(), True),
     ]
-    return T.StructType(list(base.fields) + extra)
+    return T.StructType(list(base.fields) + extra + GEN_FIELDS)
 
 
-def create_silver_table(spark: SparkSession, path: str, n_buckets: int = 16) -> LakeTable:
+def create_silver_table(
+    spark: SparkSession, path: str, n_buckets: int = 16, layer_mode: str = "cow"
+) -> LakeTable:
+    """``layer_mode``: 'cow' replaces affected buckets per refresh (read-
+    optimized); 'mor' appends generation-tagged deltas resolved on read
+    (write-optimized — refresh I/O ∝ batch, not ∝ affected buckets)."""
     return LakeTable.create(
         spark,
         path,
         schema=silver_table_schema(),
         partition_by=BUCKET_COL,
         # ts bounds let the daily-rollup refresh prune to affected dates
-        properties={"n_buckets": n_buckets, "stats_cols": ["conv_id", "ts"]},
+        properties={
+            "n_buckets": n_buckets,
+            "stats_cols": ["conv_id", "ts"],
+            "layer_mode": layer_mode,
+        },
     )
+
+
+def read_silver(silver_table: LakeTable, buckets=None, bounds=None) -> DataFrame:
+    """Mode-dispatched resolved view of silver state. For generation-MoR
+    tables, ts/conv bounds prune base files only (see mor.read_resolved)."""
+    from maritime_activity_reports_cdc_spark.operators import mor
+
+    if silver_table.properties().get("layer_mode") == "mor":
+        return mor.read_resolved(silver_table, ["conv_id"], buckets, bounds)
+    if buckets is None:
+        return silver_table.read()
+    return silver_table.read_partitions(buckets, bounds=bounds)
 
 
 def quality_exprs(df: DataFrame) -> DataFrame:
@@ -99,23 +122,39 @@ def quality_exprs(df: DataFrame) -> DataFrame:
     )
 
 
-def enrich_conversations(df: DataFrame) -> DataFrame:
+def enrich_conversations(df: DataFrame, shuffle_key: str | None = None) -> DataFrame:
     """Full-conversation window enrichment (W1/W2/W3 analogs):
     inter-turn gap seconds, turn-index gap, role-transition flag —
-    ``lag`` over ``partitionBy(conv_id).orderBy(turn_idx)`` exactly as the
-    reference does per imo (``silver/cdf_processor.py:144-178``) but over
-    complete conversation state (G6 fix)."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    prev_ts = F.lag("ts").over(w)
-    prev_idx = F.lag("turn_idx").over(w)
-    prev_role = F.lag("role").over(w)
+    ``lag`` over per-conversation order exactly as the reference does per
+    imo (``silver/cdf_processor.py:144-178``) but over complete
+    conversation state (G6 fix).
+
+    ``shuffle_key``: window-partition by this coarser column (the hash
+    bucket) instead of conv_id, ordering by (conv_id, turn_idx) with
+    conv-boundary guards on every lag. Semantically identical, but the
+    ONE exchange it induces is on the table's own partition key, so the
+    downstream bucket-partitioned write reuses it instead of shuffling
+    the fat text rows a second time. (Rows-per-window-task goes from one
+    conversation to one bucket — sized by n_buckets, the same skew bound
+    as the storage layout itself.)"""
+    if shuffle_key is None:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        same_conv = F.lit(True)
+    else:
+        w = Window.partitionBy(shuffle_key).orderBy("conv_id", "turn_idx")
+        same_conv = F.lag("conv_id").over(w) == F.col("conv_id")
+    prev_ts = F.when(same_conv, F.lag("ts").over(w))
+    prev_idx = F.when(same_conv, F.lag("turn_idx").over(w))
+    prev_role = F.when(same_conv, F.lag("role").over(w))
     return (
         df.withColumn("text_len", F.length("text").cast("int"))
         .withColumn(
             "n_tokens",
+            # regexp_count instead of size(split(..)): same whitespace-
+            # token semantics, no per-row token-array allocation.
             F.when(
                 F.col("text").isNull() | (F.length("text") == 0), F.lit(0)
-            ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("int"),
+            ).otherwise(F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1).cast("int"),
         )
         .withColumn("text_fp", F.xxhash64("text"))
         .withColumn(
@@ -169,34 +208,58 @@ def compute_affected(batch: DataFrame, n_buckets: int) -> AffectedSet:
     return AffectedSet(keyed, buckets, bounds)
 
 
-def refresh_silver_for_conversations(
-    bronze_table: LakeTable,
-    silver_table: LakeTable,
-    affected: AffectedSet,
-    epoch: int,
-    source: str = "silver_refresh",
-) -> bool:
-    """Recompute enriched silver rows for the affected conversations from
-    full bronze state and swap them in atomically. Returns False on an
-    idempotent epoch skip."""
-    if silver_table.last_epoch(source) >= epoch:
-        return False
-    if not affected.buckets:
-        silver_table.commit_epoch_noop(source, epoch, {"rows": 0})
-        return True
+def build_enriched(bronze_table: LakeTable, affected: AffectedSet) -> DataFrame:
+    """Fresh silver rows for exactly the affected conversations, computed
+    from FULL bronze state (G6 fix). Shared by the silver write AND the
+    gold summary refresh — compute once, persist, feed both."""
     # Bronze and silver share the bucket transform, so the bronze scan
-    # prunes to the same buckets; conv_id file bounds prune further
-    # (this is a pure SOURCE read — pruning is safe; the survivors
-    # read below must see whole buckets because they get rewritten).
-    # read_merged resolves MoR deltas when present (no-op for CoW).
+    # prunes to the same buckets; conv_id file bounds prune further.
+    # read_merged resolves bronze MoR deltas when present (no-op for CoW).
     from maritime_activity_reports_cdc_spark.operators.apply import read_merged
 
     bronze_slice = read_merged(bronze_table, affected.buckets, bounds=affected.prune())
     convs = bronze_slice.join(
         F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
     )
-    enriched = quality_exprs(enrich_conversations(convs))
+    # Window by the storage bucket so the silver write reuses this one
+    # exchange instead of re-shuffling the fat rows (see enrich_conversations).
+    return quality_exprs(enrich_conversations(convs, shuffle_key=BUCKET_COL))
 
+
+def refresh_silver_for_conversations(
+    bronze_table: LakeTable,
+    silver_table: LakeTable,
+    affected: AffectedSet,
+    epoch: int,
+    source: str = "silver_refresh",
+    enriched: DataFrame | None = None,
+) -> bool:
+    """Swap in the affected conversations' recomputed silver rows.
+    Returns False on an idempotent epoch skip.
+
+    CoW: survivors of the affected buckets are rewritten alongside the
+    fresh rows (read-optimized, write cost ∝ affected buckets).
+    MoR: the fresh rows append as one generation delta with per-conv
+    markers (write cost ∝ batch; full-conv deletes resolve via the
+    marker — no survivor scan at all)."""
+    from maritime_activity_reports_cdc_spark.operators import mor
+
+    if silver_table.last_epoch(source) >= epoch:
+        return False
+    if not affected.buckets:
+        silver_table.commit_epoch_noop(source, epoch, {"rows": 0})
+        return True
+    if enriched is None:
+        enriched = build_enriched(bronze_table, affected)
+
+    if silver_table.properties().get("layer_mode") == "mor":
+        mor.append_generation(
+            silver_table, enriched, affected.keys, epoch=epoch, source=source,
+            pre_partitioned=True,  # enriched came through the bucket exchange
+        )
+        return True
+
+    enriched = mor.stamp_generation(enriched, epoch, rank=1)
     target_cols = [f.name for f in silver_table.schema().fields]
     silver_slice = silver_table.read_partitions(affected.buckets)
     survivors = silver_slice.join(
@@ -205,10 +268,15 @@ def refresh_silver_for_conversations(
     merged = survivors.unionByName(enriched.select(*[
         F.col(c) if c in enriched.columns else F.lit(None).alias(c) for c in target_cols
     ]))
+    # merged is already clustered by bucket: the fresh side came through
+    # the bucket-keyed window exchange, the survivor side through bucket-
+    # pure file scans — the write skips its defensive repartition, saving
+    # a second full shuffle of the fat text rows per refresh.
     silver_table.replace_partitions(
         merged,
         summary={"source": source},
         epoch=(source, epoch),
         partition_values=affected.buckets,
+        pre_partitioned=True,
     )
     return True

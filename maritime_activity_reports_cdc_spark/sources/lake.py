@@ -267,6 +267,11 @@ class LakeTable:
     ) -> Snapshot:
         return self._commit(df, mode="append", summary=summary, epoch=epoch)
 
+    # ``pre_partitioned=True`` on a writer promises the frame is already
+    # clustered by the partition column (e.g. it just came through an
+    # exchange keyed on it) — the commit then skips its defensive
+    # repartition, saving a full shuffle of the write set.
+
     def overwrite(
         self,
         df: DataFrame,
@@ -282,6 +287,8 @@ class LakeTable:
         summary: dict | None = None,
         epoch: tuple[str, int] | None = None,
         partition_values: Iterable[Any] | None = None,
+        pre_partitioned: bool = False,
+        write_options: dict[str, str] | None = None,
     ) -> Snapshot:
         """Atomic swap of exactly the partitions present in ``df``.
 
@@ -296,6 +303,8 @@ class LakeTable:
             summary=summary,
             epoch=epoch,
             extra_replaced=partition_values,
+            pre_partitioned=pre_partitioned,
+            write_options=write_options,
         )
 
     def append_deltas(
@@ -303,13 +312,17 @@ class LakeTable:
         df: DataFrame,
         summary: dict | None = None,
         epoch: tuple[str, int] | None = None,
+        pre_partitioned: bool = False,
     ) -> Snapshot:
         """Merge-on-read write: append change rows as DELTA files without
         touching the base — O(batch) I/O per commit regardless of table
         size (the copy-on-write rewrite is deferred to compaction).
         Readers must resolve deltas against the base by key order (see
         ``operators.apply.read_merged``)."""
-        return self._commit(df, mode="append_delta", summary=summary, epoch=epoch)
+        return self._commit(
+            df, mode="append_delta", summary=summary, epoch=epoch,
+            pre_partitioned=pre_partitioned,
+        )
 
     def commit_epoch_noop(self, source: str, epoch: int, summary: dict | None = None) -> Snapshot:
         """Record an epoch with no data change (empty batch exactly-once)."""
@@ -329,6 +342,81 @@ class LakeTable:
         )
         self._write_snapshot(snap, expected_parent=parent.version)
         return snap
+
+    # ------------------------------------------------------------------
+    # maintenance: snapshot expiry + orphan cleanup
+    # ------------------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        every data file no kept snapshot references (including orphans
+        from aborted commits). The functional analog of the reference's
+        ``VACUUM ... RETAIN n HOURS`` (``bronze/table_setup.py:206-220``,
+        ``utils/spark_utils.py:183-205`` in /root/reference) — without it
+        every copy-on-write rewrite strands the superseded files forever.
+
+        Time travel stays available within the retention window and is
+        gone beyond it. MUST NOT run concurrently with writers or with
+        in-flight readers pinned to expired snapshots — run it from the
+        (single) maintenance process, like Iceberg's expire_snapshots.
+
+        Returns {"manifests_removed", "files_removed", "bytes_removed"}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        names = sorted(
+            n for n in os.listdir(self._manifest_path())
+            if n.startswith("v") and n.endswith(".json")
+        )
+        versions = [int(n[1:-5]) for n in names]
+        expire = versions[:-keep_last]
+        keep = versions[-keep_last:]
+        live: set[str] = set()
+        for v in keep:
+            snap = self.snapshot(v)
+            live.update(snap.all_files())
+            for fl in snap.delta_files.values():
+                live.update(fl)
+        def commit_of(rel: str) -> str:
+            parts = rel.split(os.sep)
+            return os.sep.join(parts[:2])  # data/cXXXXXXXX-id
+
+        live_commits = {commit_of(f) for f in live}
+        removed_files = removed_bytes = 0
+        data_root = self._data_path()
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fname in filenames:
+                abspath = os.path.join(dirpath, fname)
+                rel = os.path.relpath(abspath, self.path)
+                if fname.endswith(".parquet"):
+                    if rel in live:
+                        continue
+                else:
+                    # sidecars (_SUCCESS, .crc): drop only once their whole
+                    # commit directory is dead
+                    if commit_of(rel) in live_commits:
+                        continue
+                try:
+                    removed_bytes += os.path.getsize(abspath)
+                    os.unlink(abspath)
+                    removed_files += 1
+                except FileNotFoundError:
+                    pass
+            # prune directories emptied by the deletes
+            try:
+                if dirpath != data_root and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            except OSError:
+                pass
+        for v in expire:
+            try:
+                os.unlink(os.path.join(self._manifest_path(), f"v{v:08d}.json"))
+            except FileNotFoundError:
+                pass
+        return {
+            "manifests_removed": len(expire),
+            "files_removed": removed_files,
+            "bytes_removed": removed_bytes,
+        }
 
     # ------------------------------------------------------------------
     # schema evolution (additive)
@@ -368,6 +456,8 @@ class LakeTable:
         summary: dict | None,
         epoch: tuple[str, int] | None,
         extra_replaced: Iterable[Any] | None = None,
+        pre_partitioned: bool = False,
+        write_options: dict[str, str] | None = None,
     ) -> Snapshot:
         parent = self.snapshot()
         if epoch is not None:
@@ -391,15 +481,19 @@ class LakeTable:
             # ANTI-scale: more cores -> more files -> slower everything).
             # With the exchange + AQE coalescing, files-per-commit ≈
             # number of touched partitions, independent of parallelism.
-            (
-                df.withColumn(_SHADOW_PARTITION_COL, F.col(part_col).cast("string"))
-                .repartition(F.col(_SHADOW_PARTITION_COL))
-                .write.partitionBy(_SHADOW_PARTITION_COL)
-                .parquet(commit_abs)
-            )
+            dfw = df.withColumn(_SHADOW_PARTITION_COL, F.col(part_col).cast("string"))
+            if not pre_partitioned:
+                dfw = dfw.repartition(F.col(_SHADOW_PARTITION_COL))
+            writer = dfw.write
+            for k, v in (write_options or {}).items():
+                writer = writer.option(k, v)
+            writer.partitionBy(_SHADOW_PARTITION_COL).parquet(commit_abs)
             new_files = _collect_partitioned_files(commit_abs, commit_rel)
         else:
-            df.write.parquet(commit_abs)
+            writer = df.write
+            for k, v in (write_options or {}).items():
+                writer = writer.option(k, v)
+            writer.parquet(commit_abs)
             new_files = {"": _collect_flat_files(commit_abs, commit_rel)}
         new_files = {k: v for k, v in new_files.items() if v}
 

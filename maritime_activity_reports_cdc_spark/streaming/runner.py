@@ -76,9 +76,19 @@ class CheckpointedReplayer:
         changes: DataFrame,
         n_chunks: int = 8,
         fail_after_epoch: int | None = None,
+        prechunk: bool | None = None,
     ) -> ReplayReport:
         """Split the log into LSN-range epochs and relay each through the
         pipeline, committing the checkpoint after every epoch.
+
+        ``prechunk`` (default: on when n_chunks > 2): materialize the log
+        ONCE as chunk-partitioned parquet under the checkpoint dir and
+        read only each epoch's own files. Without it every epoch's
+        ``lsn BETWEEN`` filter re-scans the whole log (random LSN order
+        defeats row-group pruning), so an N-chunk replay costs N full
+        fat-column log scans; with it, one scan + one write total. The
+        chunk store also survives crashes, so a resume reads only the
+        remaining chunks.
 
         ``fail_after_epoch`` injects a crash (for restart tests).
         """
@@ -104,6 +114,20 @@ class CheckpointedReplayer:
         else:
             step = max(1, (span + n_chunks - 1) // n_chunks)
         start = time.monotonic()
+        if prechunk is None:
+            prechunk = (span + step - 1) // step > 2
+        chunk_dir = os.path.join(self.checkpoint_dir, "chunks")
+        if prechunk and not os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
+            spark = changes.sparkSession
+            (
+                changes.withColumn(
+                    "_chunk", ((F.col("lsn") - F.lit(lo)) / F.lit(step)).cast("int")
+                )
+                .repartition(F.col("_chunk"))
+                .write.partitionBy("_chunk")
+                .mode("overwrite")
+                .parquet(chunk_dir)
+            )
         metrics: list[EpochMetrics] = []
         run_count = skip_count = events = 0
         i = -1
@@ -116,7 +140,14 @@ class CheckpointedReplayer:
                 skip_count += 1
                 continue
             c_hi = min(c_lo + step, lo + span)
-            chunk = changes.where((F.col("lsn") >= c_lo) & (F.col("lsn") < c_hi))
+            if prechunk:
+                epoch_dir = os.path.join(chunk_dir, f"_chunk={i}")
+                if os.path.exists(epoch_dir):
+                    chunk = changes.sparkSession.read.schema(changes.schema).parquet(epoch_dir)
+                else:  # chunk with no rows
+                    chunk = changes.sparkSession.createDataFrame([], changes.schema)
+            else:
+                chunk = changes.where((F.col("lsn") >= c_lo) & (F.col("lsn") < c_hi))
             m = self.pipeline.apply_epoch(chunk, epoch=i)
             metrics.append(m)
             run_count += 1
@@ -152,11 +183,81 @@ def start_stream(
         pipeline.flush_observability()
 
     stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(feed_dir)
-    writer = stream.writeStream.foreachBatch(_relay).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = stream.writeStream.queryName("transcript_changes").foreachBatch(
+        _relay
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_meta_stream(
+    spark: SparkSession,
+    pipeline: MedallionPipeline,
+    feed_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Structured Streaming tail of the conversation-METADATA change feed,
+    driving the SCD2 conv-master relay — the reference runs this as a
+    parallel query next to the movements stream
+    (``silver/cdf_processor.py:93-138`` in /root/reference). Exactly-once
+    via the SCD2 table's own epoch watermark."""
+    from maritime_activity_reports_cdc_spark.sources.generator import (
+        CONV_META_CHANGE_SCHEMA,
+    )
+
+    def _relay(df, batch_id):
+        pipeline.apply_meta_epoch(df, epoch=batch_id)
+
+    stream = spark.readStream.schema(CONV_META_CHANGE_SCHEMA).parquet(feed_dir)
+    writer = stream.writeStream.queryName("conv_meta_changes").foreachBatch(
+        _relay
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_all_streams(
+    manager,
+    spark: SparkSession,
+    pipeline: MedallionPipeline,
+    transcript_feed: str,
+    meta_feed: str | None,
+    checkpoint_root: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Register both change feeds (transcripts + SCD2 metadata) with a
+    ``StreamManager`` — the engine's analog of the reference's
+    ``start_all_streaming_queries`` (``silver/streaming_processor.py:
+    50-75``). Each query gets a restart factory resuming from its own
+    checkpoint."""
+    qs = [
+        manager.register(
+            "transcript_changes",
+            lambda: start_stream(
+                spark, pipeline, transcript_feed,
+                os.path.join(checkpoint_root, "transcripts"),
+                available_now=available_now, processing_time=processing_time,
+            ),
+        )
+    ]
+    if meta_feed is not None:
+        qs.append(
+            manager.register(
+                "conv_meta_changes",
+                lambda: start_meta_stream(
+                    spark, pipeline, meta_feed,
+                    os.path.join(checkpoint_root, "conv_meta"),
+                    available_now=available_now, processing_time=processing_time,
+                ),
+            )
+        )
+    return qs

@@ -1,0 +1,103 @@
+"""Lake maintenance: snapshot expiry / orphan cleanup (reference VACUUM,
+``bronze/table_setup.py:206-220``) and sorted file rewrite (reference
+OPTIMIZE ZORDER, ``silver/table_setup.py:276-291``)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maritime_activity_reports_cdc_spark.operators.apply import rewrite_files
+from maritime_activity_reports_cdc_spark.plans import bronze
+from maritime_activity_reports_cdc_spark.sources.generator import generate_transcript_changes
+from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
+
+from tests.helpers import assert_states_equal, naive_replay, table_state
+
+
+def _disk_parquet_files(root: str) -> int:
+    n = 0
+    for dirpath, _d, files in os.walk(os.path.join(root, "data")):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_expire_snapshots_reclaims_disk_and_keeps_window(spark, tmp_path):
+    schema = T.StructType([T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    for i in range(6):
+        t.overwrite(spark.createDataFrame([(i, f"v{i}")], schema))
+    files_before = _disk_parquet_files(t.path)
+    assert files_before >= 6  # every overwrite strands the old file
+
+    # an orphan from a crashed commit is cleaned up too
+    orphan_dir = os.path.join(t.path, "data", "c99999999-deadbeef")
+    os.makedirs(orphan_dir)
+    open(os.path.join(orphan_dir, "part-oops.parquet"), "w").write("junk")
+
+    stats = t.expire_snapshots(keep_last=3)
+    assert stats["manifests_removed"] > 0 and stats["files_removed"] > 0
+
+    cur = t.current_version()
+    # time travel within the retention window still works
+    assert t.read(version=cur - 1).collect()[0].v == "v4"
+    assert t.read().collect()[0].v == "v5"
+    # beyond the window the manifest is gone
+    try:
+        t.snapshot(1)
+        raise AssertionError("expired snapshot should be unreadable")
+    except FileNotFoundError:
+        pass
+    assert _disk_parquet_files(t.path) < files_before
+    assert not os.path.exists(orphan_dir)
+
+    # table still writable after expiry (version numbering continues)
+    t.overwrite(spark.createDataFrame([(9, "v9")], schema))
+    assert t.read().collect()[0].v == "v9"
+
+
+def test_rewrite_files_sorts_and_tightens_bounds(spark, tmp_path):
+    changes = generate_transcript_changes(
+        spark, n_conversations=60, turns_per_conv=8, update_ratio=0.3,
+        delete_ratio=0.05, seed=23,
+    ).cache()
+    t = bronze.create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=2)
+    bronze.replay_change_log(t, changes, n_chunks=5)
+    expected = naive_replay(changes)
+
+    n = rewrite_files(t, sort_by=("conv_id", "turn_idx"), target_file_rows=60)
+    assert n == len(t.partition_values())
+    snap = t.snapshot()
+    # bounded files: each bucket split into several sorted slices ...
+    assert len(snap.all_files()) > len(t.partition_values())
+    # ... whose conv_id ranges are disjoint within a bucket (file stats
+    # tight => bounds-pruning skips most files for point-ish lookups)
+    for part, files in snap.files.items():
+        spans = sorted(
+            tuple(snap.file_stats[f]["conv_id"]) for f in files if f in snap.file_stats
+        )
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping sorted files in bucket {part}"
+    # resolved state unchanged (tombstones still hidden from reads)
+    assert_states_equal(table_state(t.read()), expected)
+    changes.unpersist()
+
+
+def test_rewrite_resolves_mor_deltas_and_keeps_tombstones(spark, tmp_path):
+    changes = generate_transcript_changes(
+        spark, n_conversations=25, turns_per_conv=6, update_ratio=0.4,
+        delete_ratio=0.15, seed=29,
+    ).cache()
+    t = bronze.create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4, apply_mode="mor")
+    bronze.replay_change_log(t, changes, n_chunks=4)
+    assert t.delta_partition_values()
+
+    rewrite_files(t, sort_by=("conv_id", "turn_idx"))
+    assert t.delta_partition_values() == []
+    assert_states_equal(table_state(t.read()), naive_replay(changes))
+    # retained tombstones survived the rewrite (out-of-order safety)
+    tombs = t.read(tombstones="include").where(F.col("op") == "D").count()
+    assert tombs > 0
+    changes.unpersist()

@@ -84,3 +84,43 @@ def test_mor_pipeline_matches_cow_pipeline(spark, tmp_path, changes):
         a = a_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
         b = b_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_gen_mor_layer_pipeline_matches_cow(spark, tmp_path, changes):
+    """Write-optimized derived layers (generation-MoR silver/summary/
+    daily) must resolve to exactly the CoW pipeline's state — mid-replay
+    (uncompacted deltas), after crash-resume, and after compaction."""
+    cow = MedallionPipeline.create(spark, str(tmp_path / "cow"), n_buckets=4)
+    CheckpointedReplayer(cow, str(tmp_path / "ckc")).run(changes, n_chunks=5)
+
+    wo = MedallionPipeline.create(
+        spark, str(tmp_path / "wo"), n_buckets=4,
+        bronze_mode="mor", layer_mode="mor", compact_every=0, compact_delta_depth=10**6,
+    )
+    rep = CheckpointedReplayer(wo, str(tmp_path / "ckw"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rep.run(changes, n_chunks=5, fail_after_epoch=1)
+    CheckpointedReplayer(MedallionPipeline.load(spark, str(tmp_path / "wo")),
+                         str(tmp_path / "ckw")).run(changes, n_chunks=5)
+    wo = MedallionPipeline.load(spark, str(tmp_path / "wo"))
+
+    def check():
+        pairs = [
+            (["conv_id", "turn_idx", "text", "n_tokens", "gap_secs"],
+             cow.read_silver(), wo.read_silver()),
+            (["conv_id", "n_turns", "total_tokens", "avg_gap_secs", "risk_level"],
+             cow.read_summary(), wo.read_summary()),
+            (["business_date", "n_active_conversations", "n_turns", "total_tokens",
+              "avg_quality"], cow.read_daily(), wo.read_daily()),
+        ]
+        for cols, a_df, b_df in pairs:
+            a = a_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+            b = b_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    assert wo.silver.delta_partition_values(), "silver generations should be uncompacted"
+    check()                      # resolve path (deltas outstanding)
+    wo.compact_all()
+    assert wo.silver.delta_partition_values() == []
+    assert wo.summary.delta_partition_values() == []
+    check()                      # read-optimized path after folding

@@ -139,8 +139,10 @@ def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
-    sa = p1.summary.read().orderBy("conv_id").toPandas()
-    sb = p2b.summary.read().orderBy("conv_id").toPandas()
+    # _gen provenance legitimately differs across chunkings — compare
+    # business columns only
+    sa = p1.summary.read().drop("_gen", "_rank").orderBy("conv_id").toPandas()
+    sb = p2b.summary.read().drop("_gen", "_rank").orderBy("conv_id").toPandas()
     import pandas as pd
 
     pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
