@@ -28,6 +28,27 @@ def normalize_text(col: str | F.Column = "text") -> F.Column:
     return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
 
 
+def md5_48(col: F.Column) -> F.Column:
+    """First 48 bits of md5 as a positive BIGINT — the cross-engine
+    verifiable hash: DuckDB computes the identical value as
+    ``('0x' || substr(md5(x), 1, 12))::BIGINT``, so sketches built on it
+    (minhash/simhash/hyperplane signs) can be oracle-checked bit-for-bit.
+    ``xxhash64`` stays the default for production (faster, 64-bit); pass
+    ``hash_fn='md5_48'`` to the sketch operators for verifiability."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast("long")
+
+
+def _hasher(hash_fn: str):
+    if hash_fn == "xxhash64":
+        return lambda *cols: F.xxhash64(*cols)
+    if hash_fn == "md5_48":
+        # multi-arg: join with ':' so DuckDB reproduces via a || ':' || b
+        return lambda *cols: md5_48(
+            cols[0] if len(cols) == 1 else F.concat_ws(":", *cols)
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def exact_fingerprint(col: str | F.Column = "text") -> F.Column:
     """Content fingerprint over normalized text (md5 so external engines
     can reproduce it bit-for-bit)."""
@@ -87,6 +108,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 64,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures as (id, sig array<bigint>).
 
@@ -99,10 +121,11 @@ def minhash_signatures(
     """
     # hash the shingle string ONCE, then derive the n permutations by
     # re-hashing the 8-byte value — string hashing is the dominant cost
+    H = _hasher(hash_fn)
     ex = shingle_table(df, id_col, text_col, shingle_n).select(
-        "_id", F.xxhash64("_s").alias("_h")
+        "_id", H(F.col("_s")).alias("_h")
     )
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(n_hashes)]
+    mins = [F.min(H(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(n_hashes)]
     agg = ex.groupBy("_id").agg(*mins)
     return agg.select(
         F.col("_id").alias(id_col),
@@ -118,6 +141,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     min_jaccard_est: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidates.
 
@@ -126,7 +150,8 @@ def minhash_lsh_candidates(
     (id_a, id_b, jaccard_est) with id_a < id_b.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).select(
+    H = _hasher(hash_fn)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, hash_fn).select(
         F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
     )
     banded = sig.select(
@@ -137,7 +162,7 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.xxhash64(F.concat_ws(",", F.slice("_sig", b * rows + 1, rows))).alias(
+                    H(F.concat_ws(",", F.slice("_sig", b * rows + 1, rows))).alias(
                         "band_hash"
                     ),
                 ),
@@ -170,14 +195,21 @@ def minhash_lsh_candidates(
     return est.where(F.col("jaccard_est") >= min_jaccard_est).select("id_a", "id_b", "jaccard_est")
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: token hash bit votes aggregated in ONE
-    groupBy with 64 conditional-sum expressions (single shuffle, JVM-side;
-    no per-row Python). Returns (id, simhash, sim_prefix16)."""
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document: token hash bit votes aggregated in ONE
+    groupBy with ``bits`` conditional-sum expressions (single shuffle,
+    JVM-side; no per-row Python). Returns (id, simhash, sim_prefix16).
+    ``hash_fn='md5_48'`` (use bits<=48) makes it DuckDB-verifiable."""
     tokens = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn("_h", _hasher(hash_fn)(F.col("_tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -72,6 +72,7 @@ def hyperplane_signatures(
     n_planes: int = 16,
     seed: int = 7,
     out_col: str = "_sig",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic random-hyperplane LSH signatures (SimHash for
     vectors) as (df columns..., out_col bigint).
@@ -82,13 +83,16 @@ def hyperplane_signatures(
     ``n_planes`` codegen'd conditional-sum aggregates (one hash-agg pass;
     the nested-HOF formulation runs interpreted and is orders of
     magnitude slower — same lesson as minhash_signatures)."""
+    from maritime_activity_reports_cdc_spark.operators.dedup import _hasher
+
+    H = _hasher(hash_fn)
     ex = df.select(
         F.col(id_col).alias("_hid"), F.posexplode(vec_col).alias("_d", "_x")
     )
     dots = [
         F.sum(
             F.col("_x").cast("double")
-            * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.col("_d")), 2) == 0, 1.0).otherwise(-1.0)
+            * F.when(F.pmod(H(F.lit(seed), F.lit(p), F.col("_d")), 2) == 0, 1.0).otherwise(-1.0)
         ).alias(f"_dot{p}")
         for p in range(n_planes)
     ]
@@ -110,13 +114,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket (equi-join on the packed signature), then exact cosine rank
     within the bucket. Recall < 1 by design; the scale win is replacing
     the cross product with a hash join."""
-    sig_v = hyperplane_signatures(vectors, id_col, vec_col, n_planes)
-    sig_q = hyperplane_signatures(queries, query_id_col, query_vec_col, n_planes)
+    sig_v = hyperplane_signatures(vectors, id_col, vec_col, n_planes, hash_fn=hash_fn)
+    sig_q = hyperplane_signatures(queries, query_id_col, query_vec_col, n_planes, hash_fn=hash_fn)
     cand = sig_v.alias("v").join(
         F.broadcast(sig_q.alias("q")),
         (F.col("v._sig") == F.col("q._sig"))

@@ -645,16 +645,102 @@ HAVING COUNT(*) * 1.0 / (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.03
 
 
 def minhash_lsh_docs(spark, sf):
-    """MinHash+LSH near-dup candidates (rows-only: xxhash64 has no DuckDB
-    twin; exactness is tested against ngram_jaccard in pytest)."""
-    return DD.minhash_lsh_candidates(
-        t(spark, sf, "documents"), n_hashes=64, bands=16, min_jaccard_est=0.2
+    """MinHash+LSH near-dup candidates, md5_48-hashed so the full
+    shingle->signature->band->bucket-join pipeline is DuckDB-verifiable
+    bit-for-bit (the operator defaults to xxhash64 for production)."""
+    pairs = DD.minhash_lsh_candidates(
+        t(spark, sf, "documents"), n_hashes=64, bands=16, min_jaccard_est=0.2,
+        hash_fn="md5_48",
     )
+    return pairs.select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def _minhash_sql(n_hashes: int = 64, bands: int = 16, min_est: float = 0.2) -> str:
+    rows = n_hashes // bands
+    h48 = lambda e: f"('0x' || substr(md5({e}), 1, 12))::BIGINT"  # noqa: E731
+    mins = ",\n         ".join(
+        "min({h}) AS m{i}".format(h=h48(str(i) + " || ':' || h"), i=i)
+        for i in range(n_hashes)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_idx, {bh} AS band_hash FROM mins".format(
+            b=b,
+            bh=h48(" || ',' || ".join(f"m{b * rows + i}" for i in range(rows))),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+  FROM words WHERE len(w) >= 3
+), hs AS (
+  SELECT doc_id, {h48('s')} AS h FROM sh
+), mins AS (
+  SELECT doc_id, {mins}
+  FROM hs GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(({matches}) / {float(n_hashes)}, 6) AS jaccard_est
+FROM cand c
+JOIN mins ma ON ma.doc_id = c.id_a
+JOIN mins mb ON mb.doc_id = c.id_b
+WHERE ({matches}) / {float(n_hashes)} >= {min_est}
+"""
+
+
+MINHASH_SQL = _minhash_sql()
 
 
 def simhash_docs(spark, sf):
-    """SimHash fingerprints + blocking prefix (rows-only)."""
-    return DD.simhash(t(spark, sf, "documents"))
+    """48-bit SimHash fingerprints + blocking prefix, md5_48-hashed for
+    bit-for-bit DuckDB verification."""
+    return DD.simhash(t(spark, sf, "documents"), bits=48, hash_fn="md5_48")
+
+
+def _simhash_sql(bits: int = 48) -> str:
+    h48 = "('0x' || substr(md5(tok), 1, 12))::BIGINT"
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    # parenthesize every term: DuckDB gives '+' higher precedence than '<<'
+    sim = " + ".join(
+        f"((CASE WHEN v{b} > 0 THEN 1 ELSE 0 END)::BIGINT << {b})" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, {h48} AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({sim}) AS simhash,
+       ({sim}) >> {bits - 16} AS sim_prefix16
+FROM votes
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
 
 
 def ann_cosine_topk(spark, sf):
@@ -681,13 +767,54 @@ SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk 
 
 
 def ann_lsh_topk(spark, sf):
-    """LSH-bucketed approximate neighbors (rows-only; recall vs brute
-    force asserted in pytest)."""
+    """LSH-bucketed approximate neighbors, md5_48-signed hyperplanes so
+    bucket assignment (and therefore the exact result set) is
+    DuckDB-reproducible; recall vs brute force is asserted in pytest."""
     emb = t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return SIM.lsh_topk(emb, queries, k=5, n_planes=8)
+    return SIM.lsh_topk(emb, queries, k=5, n_planes=8, hash_fn="md5_48")
+
+
+def _ann_lsh_sql(n_planes: int = 8, seed: int = 7, k: int = 5) -> str:
+    sign = lambda p: (  # noqa: E731
+        f"CASE WHEN ('0x' || substr(md5({seed} || ':' || {p} || ':' || d), 1, 12))::BIGINT"
+        f" % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    dots = ",\n         ".join(
+        f"SUM(x * {sign(p)}) AS dot{p}" for p in range(n_planes)
+    )
+    sig = " + ".join(
+        f"((CASE WHEN dot{p} > 0 THEN 1 ELSE 0 END)::BIGINT << {n_planes - 1 - p})"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), ex AS (
+  SELECT vec_id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS x FROM elems
+), dots AS (
+  SELECT vec_id, {dots}
+  FROM ex GROUP BY vec_id
+), sigs AS (
+  SELECT vec_id, ({sig}) AS sig FROM dots
+), v AS (
+  SELECT s.vec_id, s.sig, e.e FROM sigs s JOIN elems e USING (vec_id)
+), q AS (
+  SELECT vec_id AS qid, sig, e AS qe FROM v WHERE vec_id < 10
+), cand AS (
+  SELECT q.qid, v.vec_id AS nid, list_cosine_similarity(q.qe, v.e) AS sim
+  FROM q JOIN v ON v.sig = q.sig AND v.vec_id <> q.qid
+), r AS (
+  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM cand
+)
+SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk <= {k}
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def knn_classify_embeddings(spark, sf):
@@ -796,9 +923,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_SQL, "exact dedup"),
     "regex_filter_docs": QuerySpec(regex_filter_docs, REGEX_SQL, "regex predicate filter (P5)"),
     "ngram_jaccard_docs": QuerySpec(ngram_jaccard_docs, NGRAM_SQL, "exact n-gram jaccard pairs"),
-    "minhash_lsh_docs": QuerySpec(minhash_lsh_docs, None, "MinHash+LSH near-dup candidates"),
-    "simhash_docs": QuerySpec(simhash_docs, None, "SimHash fingerprints"),
+    "minhash_lsh_docs": QuerySpec(minhash_lsh_docs, MINHASH_SQL, "MinHash+LSH near-dup candidates"),
+    "simhash_docs": QuerySpec(simhash_docs, SIMHASH_SQL, "SimHash fingerprints"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL, "brute-force cosine top-k"),
-    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None, "LSH-bucketed approximate top-k"),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "LSH-bucketed approximate top-k"),
     "knn_classify_embeddings": QuerySpec(knn_classify_embeddings, KNN_SQL, "kNN majority-label classify"),
 }
