@@ -1,0 +1,220 @@
+"""Operational CLI — the engine's analog of the reference's typer app
+(``cli.py`` in /root/reference: setup / ingest-cdc / start-streaming /
+status, 303 LoC) plus the maintenance verbs a long-lived lake needs
+(compact / expire / rewrite). stdlib argparse only; run via
+
+    spark-submit --py-files engine.zip -m maritime_activity_reports_cdc_spark.cli ...
+    python -m maritime_activity_reports_cdc_spark.cli <cmd> [opts]
+
+Every command prints one JSON object on stdout (machine-readable, like
+the reference's status output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from maritime_activity_reports_cdc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"cdc-engine-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_setup(args) -> dict:
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+
+    spark = _spark(args)
+    p = MedallionPipeline.create(
+        spark, args.root, n_buckets=args.n_buckets,
+        bronze_mode=args.bronze_mode, layer_mode=args.layer_mode,
+    )
+    return {
+        "root": p.root,
+        "tables": ["bronze_transcripts", "silver_transcripts",
+                   "gold_conversation_summary", "gold_daily_rollup",
+                   "silver_conv_master", "_lineage", "_metrics"],
+        "n_buckets": p.n_buckets,
+        "bronze_mode": p.bronze_mode,
+        "layer_mode": p.layer_mode,
+    }
+
+
+def cmd_replay(args) -> dict:
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.streaming.runner import CheckpointedReplayer
+
+    spark = _spark(args)
+    p = MedallionPipeline.load(spark, args.root)
+    changes = spark.read.parquet(args.changes)
+    report = CheckpointedReplayer(p, args.checkpoint).run(changes, n_chunks=args.chunks)
+    return {
+        "epochs_run": report.epochs_run,
+        "epochs_skipped": report.epochs_skipped,
+        "events": report.events,
+        "wall_secs": round(report.wall_secs, 3),
+        "events_per_sec": round(report.events_per_sec, 1),
+    }
+
+
+def cmd_stream(args) -> dict:
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.streaming.manager import StreamManager
+    from maritime_activity_reports_cdc_spark.streaming.runner import start_all_streams
+
+    spark = _spark(args)
+    p = MedallionPipeline.load(spark, args.root)
+    mgr = StreamManager(spark, metrics_path=os.path.join(args.root, "_stream_metrics"))
+    start_all_streams(
+        mgr, spark, p, args.feed, args.meta_feed, args.checkpoint,
+        available_now=args.processing_time is None,
+        processing_time=args.processing_time,
+    )
+    if args.processing_time is None:
+        mgr.await_all(args.timeout)
+        health = mgr.monitor(poll_secs=0.2, max_polls=1, until_idle=True)
+    else:
+        health = mgr.monitor(poll_secs=args.poll_secs, max_polls=args.max_polls)
+        mgr.stop_all()
+    return {"health": health}
+
+
+def cmd_status(args) -> dict:
+    from maritime_activity_reports_cdc_spark.operators.mor import delta_load
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+
+    spark = _spark(args)
+    p = MedallionPipeline.load(spark, args.root)
+    out: dict = {"root": p.root, "n_buckets": p.n_buckets,
+                 "bronze_mode": p.bronze_mode, "layer_mode": p.layer_mode, "tables": {}}
+    for name in ("bronze", "silver", "summary", "daily", "conv_master", "lineage", "metrics"):
+        table = getattr(p, name, None)
+        if table is None:
+            continue
+        snap = table.snapshot()
+        n_files, depth, _ = delta_load(table)
+        out["tables"][name] = {
+            "version": snap.version,
+            "base_files": len(snap.all_files()),
+            "delta_files": n_files,
+            "delta_depth": depth,
+            "epochs": snap.epochs,
+        }
+    last = (
+        p.metrics.read().orderBy("epoch", ascending=False).limit(1).collect()
+        if out["tables"].get("metrics", {}).get("base_files") else []
+    )
+    if last:
+        r = last[0]
+        out["last_epoch_metrics"] = {
+            "epoch": r.epoch, "n_events": r.n_events,
+            "events_per_sec": r.events_per_sec, "total_secs": r.total_secs,
+        }
+    return out
+
+
+def cmd_compact(args) -> dict:
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+
+    spark = _spark(args)
+    p = MedallionPipeline.load(spark, args.root)
+    p.compact_all()
+    return {"compacted": True}
+
+
+def cmd_expire(args) -> dict:
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+
+    spark = _spark(args)
+    p = MedallionPipeline.load(spark, args.root)
+    out = {}
+    for name in ("bronze", "silver", "summary", "daily", "conv_master", "lineage", "metrics"):
+        table = getattr(p, name, None)
+        if table is not None:
+            out[name] = table.expire_snapshots(keep_last=args.keep_last)
+    return out
+
+
+def cmd_rewrite(args) -> dict:
+    from maritime_activity_reports_cdc_spark.operators.apply import rewrite_files
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+
+    spark = _spark(args)
+    p = MedallionPipeline.load(spark, args.root)
+    table = {"bronze": p.bronze, "silver": p.silver}[args.table]
+    n = rewrite_files(
+        table, sort_by=("conv_id", "turn_idx"),
+        target_file_rows=args.target_file_rows,
+        drop_tombstones_below_lsn=args.drop_tombstones_below_lsn,
+    )
+    return {"table": args.table, "partitions_rewritten": n}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="cdc-engine")
+    ap.add_argument("--master", default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+    ap.add_argument("--shuffle-partitions", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")))
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("setup", help="create the medallion lake")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--n-buckets", type=int, default=32)
+    sp.add_argument("--bronze-mode", choices=["cow", "mor"], default="mor")
+    sp.add_argument("--layer-mode", choices=["cow", "mor"], default="cow")
+
+    rp = sub.add_parser("replay", help="bounded checkpointed replay of a change log")
+    rp.add_argument("--root", required=True)
+    rp.add_argument("--changes", required=True, help="parquet change-log path")
+    rp.add_argument("--chunks", type=int, default=8)
+    rp.add_argument("--checkpoint", required=True)
+
+    st = sub.add_parser("stream", help="tail change feeds via Structured Streaming")
+    st.add_argument("--root", required=True)
+    st.add_argument("--feed", required=True, help="transcript change feed dir")
+    st.add_argument("--meta-feed", default=None, help="conv-metadata change feed dir")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--processing-time", default=None,
+                    help="e.g. '30 seconds' for continuous mode (default: availableNow)")
+    st.add_argument("--timeout", type=float, default=600.0)
+    st.add_argument("--poll-secs", type=float, default=5.0)
+    st.add_argument("--max-polls", type=int, default=10)
+
+    for name in ("status", "compact"):
+        x = sub.add_parser(name)
+        x.add_argument("--root", required=True)
+
+    ep = sub.add_parser("expire", help="snapshot expiry + orphan file cleanup")
+    ep.add_argument("--root", required=True)
+    ep.add_argument("--keep-last", type=int, default=10)
+
+    rw = sub.add_parser("rewrite", help="sorted file rewrite (OPTIMIZE analog)")
+    rw.add_argument("--root", required=True)
+    rw.add_argument("--table", choices=["bronze", "silver"], default="bronze")
+    rw.add_argument("--target-file-rows", type=int, default=None)
+    rw.add_argument("--drop-tombstones-below-lsn", type=int, default=None)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    fn = {
+        "setup": cmd_setup, "replay": cmd_replay, "stream": cmd_stream,
+        "status": cmd_status, "compact": cmd_compact, "expire": cmd_expire,
+        "rewrite": cmd_rewrite,
+    }[args.cmd]
+    print(json.dumps(fn(args), default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

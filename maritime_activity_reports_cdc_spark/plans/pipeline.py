@@ -105,6 +105,10 @@ class MedallionPipeline:
     # committed silver slice keeps Parquet column pruning (the summary
     # agg never touches text, so the re-read is a thin-column scan).
     persist_enriched: bool = False
+    # Chunk size for the two-phase mega-conversation window (None = the
+    # plain per-bucket window; set when single conversations can exceed
+    # ~10^5 turns so no window task serializes one conversation).
+    mega_conv_chunk: int | None = None
     # Cache the change batch across the relay's passes. Off by default:
     # deserialized caching of fat text rows costs more (JVM heap churn +
     # GC) than re-scanning the compressed, column-pruned parquet chunk —
@@ -270,7 +274,9 @@ class MedallionPipeline:
             # ONCE, persisted, and fed to both the silver write and the
             # gold summary agg (no silver re-read between layers).
             if affected.buckets:
-                enriched = silver_plan.build_enriched(self.bronze, affected)
+                enriched = silver_plan.build_enriched(
+                    self.bronze, affected, mega_conv_chunk=self.mega_conv_chunk
+                )
                 if self.summary is not None and self.persist_enriched:
                     enriched = enriched.persist()
             silver_plan.refresh_silver_for_conversations(

@@ -169,6 +169,73 @@ def enrich_conversations(df: DataFrame, shuffle_key: str | None = None) -> DataF
     )
 
 
+def enrich_conversations_chunked(df: DataFrame, chunk_size: int = 10_000) -> DataFrame:
+    """Mega-conversation-safe enrichment: identical output to
+    ``enrich_conversations``, but no single window task ever holds more
+    than ~``chunk_size`` turns of one conversation.
+
+    A per-conversation ordered window serializes a 10^6-turn
+    conversation into one task (round-1 defect). Two-phase plan:
+
+    1. windows over ``(conv_id, chunk)`` where chunk = turn_idx div
+       chunk_size — parallelism ∝ turns/chunk_size even for one conv;
+    2. boundary exchange: each chunk's LAST (ts, turn_idx, role) is
+       aggregated (tiny: one row per chunk) and lag()ed over a
+       per-conversation window of CHUNK SUMMARIES (rows = n_chunks, not
+       n_turns — skew-free by construction); chunk-first rows take their
+       prev-values from the latest NON-EMPTY prior chunk.
+
+    Cost: one extra small shuffle of the chunk summaries + a broadcast-
+    size join. Use when conversations can exceed ~10^5 turns; the plain
+    single-window form is cheaper below that.
+    """
+    ck = (F.col("turn_idx").cast("long") / F.lit(int(chunk_size))).cast("long")
+    x = df.withColumn("_ck", ck)
+    w = Window.partitionBy("conv_id", "_ck").orderBy("turn_idx")
+    prev_in = F.struct(
+        F.lag("ts").over(w).alias("ts"),
+        F.lag("turn_idx").over(w).alias("turn_idx"),
+        F.lag("role").over(w).alias("role"),
+    )
+    x = x.withColumn("_prev_in", prev_in).withColumn(
+        "_first_in_chunk", F.lag("turn_idx").over(w).isNull()
+    )
+    # chunk summaries: last row image per (conv, chunk). Only NON-EMPTY
+    # chunks appear (the agg runs over existing rows), so a plain lag
+    # already yields the latest prior non-empty chunk even when turn_idx
+    # ranges are sparse.
+    last_row = F.max_by(
+        F.struct(F.col("ts"), F.col("turn_idx"), F.col("role")), F.col("turn_idx")
+    ).alias("_last")
+    summaries = x.groupBy("conv_id", "_ck").agg(last_row)
+    w_ck = Window.partitionBy("conv_id").orderBy("_ck")
+    boundaries = summaries.withColumn("_prev_chunk", F.lag("_last").over(w_ck)).select(
+        "conv_id", "_ck", "_prev_chunk"
+    )
+    x = x.join(boundaries, ["conv_id", "_ck"], "left")
+    prev = F.when(F.col("_first_in_chunk"), F.col("_prev_chunk")).otherwise(F.col("_prev_in"))
+    prev_ts = prev["ts"]
+    prev_idx = prev["turn_idx"]
+    prev_role = prev["role"]
+    out = (
+        x.withColumn("text_len", F.length("text").cast("int"))
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), F.lit(0)
+            ).otherwise(F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1).cast("int"),
+        )
+        .withColumn("text_fp", F.xxhash64("text"))
+        .withColumn("gap_secs", F.col("ts").cast("double") - prev_ts.cast("double"))
+        .withColumn("turn_gap", (F.col("turn_idx") - prev_idx).cast("int"))
+        .withColumn(
+            "is_role_transition",
+            F.when(prev_role.isNull(), F.lit(True)).otherwise(F.col("role") != prev_role),
+        )
+    )
+    return out.drop("_ck", "_prev_in", "_first_in_chunk", "_prev_chunk")
+
+
 def affected_conversations(batch: DataFrame) -> DataFrame:
     """Distinct conv_ids touched by a change batch (D2 analog,
     ``gold/cdf_processor.py:233-237`` — but kept distributed, never
@@ -208,10 +275,19 @@ def compute_affected(batch: DataFrame, n_buckets: int) -> AffectedSet:
     return AffectedSet(keyed, buckets, bounds)
 
 
-def build_enriched(bronze_table: LakeTable, affected: AffectedSet) -> DataFrame:
+def build_enriched(
+    bronze_table: LakeTable,
+    affected: AffectedSet,
+    mega_conv_chunk: int | None = None,
+) -> DataFrame:
     """Fresh silver rows for exactly the affected conversations, computed
     from FULL bronze state (G6 fix). Shared by the silver write AND the
-    gold summary refresh — compute once, persist, feed both."""
+    gold summary refresh — compute once, persist, feed both.
+
+    ``mega_conv_chunk``: when conversations can exceed ~10^5 turns, use
+    the chunked two-phase window (bounded rows-per-task) at the cost of
+    one extra small shuffle; the result is clustered by bucket afterward
+    so the write path keeps its exchange reuse."""
     # Bronze and silver share the bucket transform, so the bronze scan
     # prunes to the same buckets; conv_id file bounds prune further.
     # read_merged resolves bronze MoR deltas when present (no-op for CoW).
@@ -221,9 +297,14 @@ def build_enriched(bronze_table: LakeTable, affected: AffectedSet) -> DataFrame:
     convs = bronze_slice.join(
         F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
     )
-    # Window by the storage bucket so the silver write reuses this one
-    # exchange instead of re-shuffling the fat rows (see enrich_conversations).
-    return quality_exprs(enrich_conversations(convs, shuffle_key=BUCKET_COL))
+    if mega_conv_chunk:
+        enriched = enrich_conversations_chunked(convs, chunk_size=mega_conv_chunk)
+        enriched = enriched.repartition(F.col(BUCKET_COL))
+    else:
+        # Window by the storage bucket so the silver write reuses this
+        # one exchange instead of re-shuffling the fat rows.
+        enriched = enrich_conversations(convs, shuffle_key=BUCKET_COL)
+    return quality_exprs(enriched)
 
 
 def refresh_silver_for_conversations(

@@ -78,6 +78,11 @@ class Snapshot:
     # analog): change rows appended without rewriting the base; readers
     # resolve base ∪ deltas by key order; compaction folds them back.
     delta_files: dict[str, list[str]] = None  # type: ignore[assignment]
+    # format-2 snapshots: partition -> per-partition manifest filename.
+    # The snapshot JSON stores ONLY these refs; unchanged partitions
+    # reuse the parent's ref file, so commit cost is O(changed
+    # partitions), never O(total files) (Iceberg manifest-list analog).
+    refs: dict[str, str] | None = None
 
     def __post_init__(self):
         if self.file_stats is None:
@@ -98,6 +103,8 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # per-partition manifest payload cache (ref files are immutable)
+        self._ref_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -163,7 +170,34 @@ class LakeTable:
                 raise FileNotFoundError(f"no lake table at {self.path}")
         with open(os.path.join(self._manifest_path(), f"v{version:08d}.json")) as fh:
             raw = json.load(fh)
-        return Snapshot(**raw)
+        if raw.get("refs") is None:
+            return Snapshot(**{k: v for k, v in raw.items() if k != "format"})
+        files: dict[str, list[str]] = {}
+        deltas: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
+        for part, ref in raw["refs"].items():
+            payload = self._ref_cache.get(ref)
+            if payload is None:
+                with open(os.path.join(self._manifest_path(), ref)) as fh:
+                    payload = json.load(fh)
+                self._ref_cache[ref] = payload
+            files[part] = payload["files"]
+            if payload["deltas"]:
+                deltas[part] = payload["deltas"]
+            stats.update(payload["stats"])
+        return Snapshot(
+            version=raw["version"],
+            parent=raw["parent"],
+            schema_json=raw["schema_json"],
+            partition_by=raw["partition_by"],
+            files=files,
+            summary=raw["summary"],
+            epochs=raw["epochs"],
+            properties=raw["properties"],
+            file_stats=stats,
+            delta_files=deltas,
+            refs=raw["refs"],
+        )
 
     def history(self) -> list[Snapshot]:
         names = sorted(
@@ -340,7 +374,9 @@ class LakeTable:
             file_stats=parent.file_stats,
             delta_files=parent.delta_files,
         )
-        self._write_snapshot(snap, expected_parent=parent.version)
+        self._write_snapshot(
+            snap, expected_parent=parent.version, touched=set(), parent_refs=parent.refs
+        )
         return snap
 
     # ------------------------------------------------------------------
@@ -412,6 +448,20 @@ class LakeTable:
                 os.unlink(os.path.join(self._manifest_path(), f"v{v:08d}.json"))
             except FileNotFoundError:
                 pass
+        # per-partition manifest refs referenced only by expired snapshots
+        live_refs: set[str] = set()
+        for v in keep:
+            with open(os.path.join(self._manifest_path(), f"v{v:08d}.json")) as fh:
+                raw = json.load(fh)
+            live_refs.update((raw.get("refs") or {}).values())
+        for name in os.listdir(self._manifest_path()):
+            if name.startswith("p") and name.endswith(".json") and name not in live_refs:
+                try:
+                    os.unlink(os.path.join(self._manifest_path(), name))
+                    self._ref_cache.pop(name, None)
+                    removed_files += 1
+                except FileNotFoundError:
+                    pass
         return {
             "manifests_removed": len(expire),
             "files_removed": removed_files,
@@ -443,7 +493,9 @@ class LakeTable:
             file_stats=parent.file_stats,
             delta_files=parent.delta_files,
         )
-        self._write_snapshot(snap, expected_parent=parent.version)
+        self._write_snapshot(
+            snap, expected_parent=parent.version, touched=set(), parent_refs=parent.refs
+        )
         return snap
 
     # ------------------------------------------------------------------
@@ -502,14 +554,17 @@ class LakeTable:
             files = {k: list(v) for k, v in parent.files.items()}
             for key, file_list in new_files.items():
                 files.setdefault(key, []).extend(file_list)
+            touched = set(new_files)
         elif mode == "append_delta":
             files = {k: list(v) for k, v in parent.files.items()}
             for key, file_list in new_files.items():
                 deltas.setdefault(key, []).extend(file_list)
                 files.setdefault(key, [])  # partition becomes visible
+            touched = set(new_files)
         elif mode == "overwrite":
             files = new_files
             deltas = {}
+            touched = set(new_files) | set(parent.files) | set(parent.delta_files)
         elif mode == "replace":
             replaced = set(new_files.keys())
             if extra_replaced is not None:
@@ -517,22 +572,22 @@ class LakeTable:
             files = {k: list(v) for k, v in parent.files.items() if k not in replaced}
             files.update(new_files)
             deltas = {k: v for k, v in deltas.items() if k not in replaced}
+            touched = replaced
         else:  # pragma: no cover
             raise ValueError(mode)
 
-        # Per-file column bounds (Iceberg-manifest analog). Collected from
-        # parquet footers on the driver — cheap (metadata only); a real
-        # cluster deployment would gather these from write-task results.
+        # Per-file column bounds (Iceberg-manifest analog) from parquet
+        # footers (metadata-only reads): small commits on the driver,
+        # large ones as a distributed job so the commit path never
+        # becomes a driver file-loop bottleneck.
         stats_cols = parent.properties.get("stats_cols") or []
+        file_stats = dict(parent.file_stats)
+        if stats_cols:
+            new_rels = [rel for fl in new_files.values() for rel in fl]
+            file_stats.update(self._collect_stats(new_rels, stats_cols))
         live = {f for fl in files.values() for f in fl}
         live |= {f for fl in deltas.values() for f in fl}
-        file_stats = {f: s for f, s in parent.file_stats.items() if f in live}
-        if stats_cols:
-            for file_list in new_files.values():
-                for rel in file_list:
-                    stats = _footer_stats(os.path.join(self.path, rel), stats_cols)
-                    if stats:
-                        file_stats[rel] = stats
+        file_stats = {f: st for f, st in file_stats.items() if f in live}
 
         epochs = dict(parent.epochs)
         if epoch is not None:
@@ -550,11 +605,31 @@ class LakeTable:
             delta_files=deltas,
         )
         try:
-            self._write_snapshot(snap, expected_parent=parent.version)
+            self._write_snapshot(
+                snap, expected_parent=parent.version,
+                touched=touched, parent_refs=parent.refs,
+            )
         except CommitConflict:
             shutil.rmtree(commit_abs, ignore_errors=True)
             raise
         return snap
+
+    def _collect_stats(self, rels: list[str], stats_cols: list[str]) -> dict[str, dict]:
+        """Footer stats for newly written files. Driver loop when few
+        files; a parallelize job (footers read on executors) once the
+        count would make the driver loop a commit bottleneck."""
+        if len(rels) <= 64:
+            out = {}
+            for rel in rels:
+                stats = _footer_stats(os.path.join(self.path, rel), stats_cols)
+                if stats:
+                    out[rel] = stats
+            return out
+        root = self.path
+        pairs = self.spark.sparkContext.parallelize(rels, max(2, len(rels) // 32)).map(
+            lambda rel: (rel, _footer_stats(os.path.join(root, rel), stats_cols))
+        ).collect()
+        return {rel: st for rel, st in pairs if st}
 
     def _check_epoch(self, parent: Snapshot, source: str, epoch: int) -> None:
         last = parent.epochs.get(source, -1)
@@ -563,16 +638,66 @@ class LakeTable:
                 f"epoch {epoch} for source {source!r} already committed (last={last})"
             )
 
-    def _write_snapshot(self, snap: Snapshot, expected_parent: int | None) -> None:
+    def _write_snapshot(
+        self,
+        snap: Snapshot,
+        expected_parent: int | None,
+        touched: set[str] | None = None,
+        parent_refs: dict[str, str] | None = None,
+    ) -> None:
         current = self.current_version()
         if current != expected_parent:
             raise CommitConflict(
                 f"table advanced to v{current} while writing v{snap.version}"
             )
+        # Per-partition manifests: rewrite only the touched partitions'
+        # ref files; everything else reuses the parent's (commit cost
+        # O(changed), not O(total files)). touched=None => all changed.
+        refs: dict[str, str] = {}
+        all_parts = set(snap.files) | set(snap.delta_files)
+        for part in sorted(all_parts):
+            if (
+                touched is not None
+                and part not in touched
+                and parent_refs is not None
+                and part in parent_refs
+            ):
+                refs[part] = parent_refs[part]
+                continue
+            part_files = snap.files.get(part, [])
+            part_deltas = snap.delta_files.get(part, [])
+            payload = {
+                "files": part_files,
+                "deltas": part_deltas,
+                "stats": {
+                    f: snap.file_stats[f]
+                    for f in (*part_files, *part_deltas)
+                    if f in snap.file_stats
+                },
+            }
+            ref = f"p{snap.version:08d}-{uuid.uuid4().hex[:8]}.json"
+            ref_tmp = os.path.join(self._manifest_path(), ref + ".tmp")
+            with open(ref_tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(ref_tmp, os.path.join(self._manifest_path(), ref))
+            self._ref_cache[ref] = payload
+            refs[part] = ref
+        snap.refs = refs
+        raw = {
+            "format": 2,
+            "version": snap.version,
+            "parent": snap.parent,
+            "schema_json": snap.schema_json,
+            "partition_by": snap.partition_by,
+            "summary": snap.summary,
+            "epochs": snap.epochs,
+            "properties": snap.properties,
+            "refs": refs,
+        }
         manifest = os.path.join(self._manifest_path(), f"v{snap.version:08d}.json")
         tmp = manifest + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump(snap.__dict__, fh)
+            json.dump(raw, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:

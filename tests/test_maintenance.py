@@ -85,6 +85,36 @@ def test_rewrite_files_sorts_and_tightens_bounds(spark, tmp_path):
     changes.unpersist()
 
 
+def test_commit_rewrites_only_touched_partition_manifests(spark, tmp_path):
+    """Manifest scalability: the snapshot stores per-partition manifest
+    refs; a commit touching one bucket reuses every other bucket's ref
+    file VERBATIM, so commit metadata cost is O(changed partitions) and
+    stays flat as total file count grows."""
+    import datetime as dt
+
+    from maritime_activity_reports_cdc_spark.sources.generator import CHANGE_SCHEMA
+
+    ts = dt.datetime(2025, 2, 1)
+    t = bronze.create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=16)
+    seed = [("I", i, 0, ts, f"c{i}", 0, "user", f"t{i}", None, ts) for i in range(200)]
+    bronze.apply_transcript_batch(t, spark.createDataFrame(seed, CHANGE_SCHEMA), epoch=0)
+    parent = t.snapshot()
+    assert parent.refs and len(parent.refs) >= 8
+
+    # touch exactly one conversation -> one bucket
+    one = [("U", 10_000, 0, ts, "c0", 0, "user", "t0v2", None, ts)]
+    bronze.apply_transcript_batch(t, spark.createDataFrame(one, CHANGE_SCHEMA), epoch=1)
+    snap = t.snapshot()
+    changed = [p for p in snap.refs if snap.refs[p] != parent.refs.get(p)]
+    assert len(changed) == 1, f"expected 1 rewritten partition manifest, got {changed}"
+    # an epoch-only commit (noop) rewrites none
+    t.commit_epoch_noop("other_source", 7)
+    snap2 = t.snapshot()
+    assert snap2.refs == snap.refs
+    # resolved reads are unaffected by the ref indirection
+    assert t.read().where(F.col("conv_id") == "c0").collect()[0].text == "t0v2"
+
+
 def test_rewrite_resolves_mor_deltas_and_keeps_tombstones(spark, tmp_path):
     changes = generate_transcript_changes(
         spark, n_conversations=25, turns_per_conv=6, update_ratio=0.4,
