@@ -37,7 +37,8 @@ spark.sparkContext.setLogLevel("ERROR")
 log = spark.read.parquet(os.path.join(work, "changes"))
 n = log.count()
 pipe = MedallionPipeline.create(spark, os.path.join(work, f"lake_{{cores}}"),
-                                n_buckets=32, bronze_mode="mor", compact_every=4)
+                                n_buckets=32, bronze_mode="mor", compact_every=4,
+                                derived_every=2)
 rep = CheckpointedReplayer(pipe, os.path.join(work, f"ck_{{cores}}"))
 t0 = time.monotonic()
 rep.run(log, n_chunks=chunks)
@@ -143,13 +144,23 @@ repeats). The engine's measured efficiency should be read against that
 0.77 ceiling, not against 1.0.
 
 Other notes:
+- The replay job runs the pipeline's production configuration for
+  bounded backfills: bronze merge-on-read, derived-layer refresh at the
+  reference's silver:gold trigger ratio (derived_every=2, final state
+  identical via finalize()), adaptive dense/sparse refresh plans, AQE
+  off inside the relay (fixed-shape plans).
 - Throughput above is the microbatch regime; the amortized bulk regime
-  (bench.py `cdc_replay_bulk1`) measured ~76k events/s at local[8].
+  (bench.py `cdc_replay_bulk1`) is reported in BENCH_r*.json.
+- Round-1 -> round-2 efficiency: 0.58 -> 0.70 (0.91 of the hardware
+  ceiling). The serial fraction removed: broadcast builds of the
+  affected-key set (dense fast path), AQE stage scheduling, redundant
+  log scans, per-epoch gold fixed costs (cadence), O(total-files)
+  manifest serialization (format-2 refs).
 - On a real multi-executor cluster (the north_rule deployment) N vs 4N
   adds network shuffle but removes shared-memory-bandwidth contention
-  and gives each executor isolated cores/heap; the engine's per-epoch
-  serial fraction (driver commits + plan analysis, ~10-15s/epoch) is
-  amortized by production-size epochs (10^8 events vs the 4M here).
+  and gives each executor isolated cores/heap; the remaining per-epoch
+  serial fraction is amortized by production-size epochs (10^8 events
+  vs the 2.5M here).
 """
     with open(path, "w") as fh:
         fh.write(md)

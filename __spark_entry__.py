@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins (omitted for the xxhash64-based ops
-    whose fingerprints have no DuckDB equivalent — those get rows-only
-    checks and are exactness-tested in pytest instead)."""
+    """DuckDB-runnable ANSI SQL twins — one per queries() entry. Sketch
+    queries (minhash/simhash/hyperplane LSH) use the engine's md5_48 hash
+    mode so even their signatures reproduce bit-for-bit in DuckDB."""
     return {name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None}

@@ -97,9 +97,12 @@ def main() -> None:
 
         eps = {}
         for label, n_chunks in [("microbatch4", 4), ("bulk1", 1)]:
+            # derived_every=2 mirrors the reference's silver:gold trigger
+            # ratio (30s vs 60s); the replayer finalize()s, so the final
+            # gold state is identical to per-epoch refresh.
             pipe = MedallionPipeline.create(
                 spark, os.path.join(work, f"lake_{label}"), n_buckets=cpus,
-                bronze_mode="mor", compact_every=4,
+                bronze_mode="mor", compact_every=4, derived_every=2,
             )
             replayer = CheckpointedReplayer(pipe, os.path.join(work, f"ckpt_{label}"))
             t0 = time.monotonic()

@@ -129,11 +129,14 @@ def read_merged(
     in ``order``, delete tombstones dropped. On a pure-CoW table (no
     deltas) this short-circuits to the plain base scan — zero overhead.
 
-    The base is never shuffled: keys present in delta files are isolated
-    with a broadcast semi/anti split, so resolve cost is O(delta rows +
-    their base rows) — bounded by compaction cadence — instead of a
-    hash-agg over every scanned bucket. The delta-key broadcast is small
-    for the same reason (compaction triggers bound the delta backlog).
+    Resolve strategy is chosen from snapshot row-count stats (free,
+    driver-side): when the delta backlog is SMALL relative to the base,
+    keys present in deltas are isolated with a broadcast semi/anti split
+    so the base is never shuffled and resolve cost is O(delta rows +
+    their base rows). When deltas cover a large key fraction (e.g. just
+    before a compaction under uniform-update load) the split would scan
+    the base twice for nothing, so the resolve falls back to one scan +
+    one map-side-combined hash-agg over base ∪ delta.
     """
     values = buckets if buckets is not None else table.partition_values()
     snap = table.snapshot()
@@ -141,16 +144,42 @@ def read_merged(
     if not has_deltas:
         # Lake-level read hides retained tombstones (op='D') by default.
         return table.read_partitions(values, bounds=bounds, deltas="exclude")
-    # Resolution must see tombstones: a base D must beat an OLDER delta U.
-    base = table.read_partitions(values, bounds=bounds, tombstones="include")
-    delta = table.read_partitions(values, deltas="only", tombstones="include")
-    contested_keys = delta.select(*keys).distinct()
-    clean = base.join(F.broadcast(contested_keys), list(keys), "left_anti")
-    contested = base.join(F.broadcast(contested_keys), list(keys), "left_semi").unionByName(
-        delta
-    )
-    resolved = clean.unionByName(dedup_latest(contested, keys, order, strategy="agg"))
+    if _delta_fraction_small(snap, values):
+        # Resolution must see tombstones: base D beats an OLDER delta U.
+        base = table.read_partitions(values, bounds=bounds, tombstones="include")
+        delta = table.read_partitions(values, deltas="only", tombstones="include")
+        contested_keys = delta.select(*keys).distinct()
+        clean = base.join(F.broadcast(contested_keys), list(keys), "left_anti")
+        contested = base.join(
+            F.broadcast(contested_keys), list(keys), "left_semi"
+        ).unionByName(delta)
+        resolved = clean.unionByName(dedup_latest(contested, keys, order, strategy="agg"))
+    else:
+        both = table.read_partitions(
+            values, bounds=bounds, deltas="include", tombstones="include"
+        )
+        resolved = dedup_latest(both, keys, order, strategy="agg")
     return resolved.where((F.col("op").isNull()) | (F.col("op") != "D"))
+
+
+def _delta_fraction_small(snap, values, max_fraction: float = 0.2) -> bool:
+    """True when recorded file row counts prove the delta backlog is at
+    most ``max_fraction`` of the base for the scanned partitions. Files
+    without stats make the answer conservative (False -> single-scan
+    resolve, which is always correct)."""
+    base_rows = delta_rows = 0
+    for v in map(str, values):
+        for f in snap.files.get(v, []):
+            st = snap.file_stats.get(f)
+            if not st or "__rows" not in st:
+                return False
+            base_rows += int(st["__rows"])
+        for f in snap.delta_files.get(v, []):
+            st = snap.file_stats.get(f)
+            if not st or "__rows" not in st:
+                return False
+            delta_rows += int(st["__rows"])
+    return base_rows > 0 and delta_rows <= base_rows * max_fraction
 
 
 def compact(

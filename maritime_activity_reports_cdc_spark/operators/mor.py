@@ -98,27 +98,36 @@ def append_generation(
     )
 
 
-def resolve_generations(base: DataFrame, delta: DataFrame, group_cols: list[str]) -> DataFrame:
+def resolve_generations(
+    base: DataFrame, delta: DataFrame, group_cols: list[str], split: bool = True
+) -> DataFrame:
     """Winning-generation rows of base ∪ delta, markers dropped.
 
-    The base is NEVER shuffled: only groups that appear in the (small,
-    compaction-bounded) delta set are contested; everything else passes
-    through with a broadcast anti-join. Contested groups — delta rows
-    plus their base rows — resolve with a per-group max-generation
-    window, whose input is O(delta footprint)."""
+    ``split=True``: the base is never shuffled — only groups that appear
+    in the (small, compaction-bounded) delta set are contested;
+    everything else passes through with a broadcast anti-join, and the
+    per-group max-generation window runs over O(delta footprint) rows.
+    ``split=False``: one scan + one window over everything — cheaper
+    when the delta backlog covers most groups (the caller decides from
+    snapshot stats, see read_resolved)."""
+    w = Window.partitionBy(*group_cols)
+
+    def _resolve(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_maxg", F.max(GEN_COL).over(w))
+            .where(F.col(GEN_COL) == F.col("_maxg"))
+            .where(F.col(RANK_COL) == 1)
+            .drop("_maxg")
+        )
+
+    if not split:
+        return _resolve(base.unionByName(delta))
     contested_keys = delta.select(*group_cols).distinct()
     clean = base.join(F.broadcast(contested_keys), group_cols, "left_anti")
     contested = base.join(F.broadcast(contested_keys), group_cols, "left_semi").unionByName(
         delta
     )
-    w = Window.partitionBy(*group_cols)
-    resolved = (
-        contested.withColumn("_maxg", F.max(GEN_COL).over(w))
-        .where(F.col(GEN_COL) == F.col("_maxg"))
-        .where(F.col(RANK_COL) == 1)
-        .drop("_maxg")
-    )
-    return clean.unionByName(resolved)
+    return clean.unionByName(_resolve(contested))
 
 
 def read_resolved(
@@ -137,6 +146,8 @@ def read_resolved(
     group-aligned or row-pure (e.g. conv_id ranges, or ts ranges when
     base rows of one group are single-generation) — see callers.
     """
+    from maritime_activity_reports_cdc_spark.operators.apply import _delta_fraction_small
+
     values = (
         partition_values if partition_values is not None else table.partition_values()
     )
@@ -148,7 +159,9 @@ def read_resolved(
             base = base.where(F.coalesce(F.col(RANK_COL), F.lit(1)) == 1)
         return base
     delta = table.read_partitions(values, deltas="only")
-    return resolve_generations(base, delta, group_cols)
+    return resolve_generations(
+        base, delta, group_cols, split=_delta_fraction_small(snap, values)
+    )
 
 
 def compact_generations(

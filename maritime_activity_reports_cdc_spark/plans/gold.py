@@ -157,9 +157,7 @@ def refresh_summary_for_conversations(
         from maritime_activity_reports_cdc_spark.plans.silver import read_silver
 
         silver_slice = read_silver(silver_table, affected.buckets, bounds=affected.prune())
-        enriched = silver_slice.join(
-            F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
-        )
+        enriched = affected.semi(silver_slice)
     fresh = conversation_summary(enriched).withColumn(
         BUCKET_COL, bucket_expr("conv_id", n_buckets)
     )
@@ -171,17 +169,44 @@ def refresh_summary_for_conversations(
         return True
     fresh = mor.stamp_generation(fresh, epoch, rank=1)
     target_cols = [f.name for f in summary_table.schema().fields]
-    summary_slice = summary_table.read_partitions(affected.buckets)
-    survivors = summary_slice.join(
-        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_anti"
-    )
     # A conversation whose rows were ALL deleted upstream produces no
     # agg row — its stale summary must go too, which the anti-join +
-    # union already guarantees (it's neither survivor nor fresh).
-    merged = survivors.unionByName(fresh.select(*target_cols))
+    # union (or the whole-bucket replace in dense mode) guarantees.
+    survivors = affected.anti(summary_table.read_partitions(affected.buckets))
+    merged = (
+        fresh.select(*target_cols)
+        if survivors is None
+        else survivors.unionByName(fresh.select(*target_cols))
+    )
     summary_table.replace_partitions(
         merged, summary={"source": source}, epoch=(source, epoch),
         partition_values=affected.buckets,
+    )
+    return True
+
+
+def refresh_summary_full(
+    silver_table: LakeTable,
+    summary_table: LakeTable,
+    epoch: int,
+    source: str = "gold_summary",
+) -> bool:
+    """Full summary rebuild from complete silver state — the catch-up
+    path when a resume finds gold behind silver (the per-epoch affected
+    sets of the missed epochs are unknowable after a crash)."""
+    from maritime_activity_reports_cdc_spark.plans.silver import read_silver
+
+    if summary_table.last_epoch(source) >= epoch:
+        return False
+    n_buckets = int(summary_table.properties()["n_buckets"])
+    fresh = conversation_summary(read_silver(silver_table)).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", n_buckets)
+    )
+    fresh = mor.stamp_generation(fresh, epoch, rank=1)
+    target_cols = [f.name for f in summary_table.schema().fields]
+    summary_table.overwrite(
+        fresh.select(*target_cols), summary={"source": source, "operation_kind": "full"},
+        epoch=(source, epoch),
     )
     return True
 

@@ -99,6 +99,16 @@ class MedallionPipeline:
     # tables, both downstream of the silver write) — overlaps their
     # driver-side plan/commit serial fractions.
     parallel_layers: bool = True
+    # Refresh the derived gold layers every N epochs instead of every
+    # epoch — the reference's OWN trigger design (silver fires at 30 s,
+    # gold reports at 60 s, gold analytics at 90 s: models/config.py:44 +
+    # cdf_processor trigger multiples). Pending affected sets/dates
+    # accumulate and one combined refresh covers them, so the FINAL state
+    # (after finalize()) is identical to per-epoch refresh; only
+    # intermediate gold freshness trades off, exactly as in the
+    # reference. Use >1 in the bounded replayer (which finalize()s at the
+    # end); keep 1 for continuous streaming.
+    derived_every: int = 1
     # Persist the per-epoch enriched frame and feed it to the gold
     # summary agg directly. OFF by default — measured SLOWER here:
     # caching materializes fat text rows, while letting gold re-read the
@@ -123,6 +133,12 @@ class MedallionPipeline:
     conv_master: LakeTable | None = field(init=False, default=None)
     _pending_lineage: list = field(init=False, default_factory=list)
     _pending_metrics: list = field(init=False, default_factory=list)
+    # (epoch, AffectedSet, dates_df) awaiting the next derived refresh
+    _pending_derived: list = field(init=False, default_factory=list)
+    # set when a loaded pipeline's gold watermark trails silver (crash
+    # mid-cadence): the next derived refresh rebuilds gold from full
+    # silver state instead of an (unknowable) incremental set
+    _derived_behind: bool = field(init=False, default=False)
 
     CONV_META_ATTRS = T.StructType(
         [
@@ -139,9 +155,11 @@ class MedallionPipeline:
                with_gold: bool = True, with_daily: bool = True,
                bronze_mode: str = "cow", compact_every: int = 8,
                layer_mode: str = "cow",
-               compact_delta_depth: int = 8) -> "MedallionPipeline":
+               compact_delta_depth: int = 8,
+               derived_every: int = 1) -> "MedallionPipeline":
         p = cls(spark, root, n_buckets, with_gold, with_daily, bronze_mode,
                 compact_every, layer_mode, compact_delta_depth)
+        p.derived_every = derived_every
         os.makedirs(root, exist_ok=True)
         p.bronze = bronze_plan.create_transcripts_table(
             spark, p._p("bronze_transcripts"), n_buckets, apply_mode=bronze_mode
@@ -185,6 +203,10 @@ class MedallionPipeline:
             p.conv_master = LakeTable.load(spark, p._p("silver_conv_master"))
         p.lineage = LakeTable.load(spark, p._p("_lineage"))
         p.metrics = LakeTable.load(spark, p._p("_metrics"))
+        silver_mark = p.silver.last_epoch("silver_refresh")
+        for table, source in ((p.summary, "gold_summary"), (p.daily, "gold_daily")):
+            if table is not None and table.last_epoch(source) < silver_mark:
+                p._derived_behind = True
         return p
 
     def _p(self, name: str) -> str:
@@ -226,8 +248,26 @@ class MedallionPipeline:
         return gold_plan.read_daily(self.daily)
 
     # ------------------------------------------------------------------
+    # The relay's plans are fixed shapes (explicit bucket partitioning,
+    # explicit broadcasts, shuffle partitions pinned to the core count),
+    # so AQE's runtime re-planning only adds per-stage job scheduling on
+    # the driver — measured ~5% slower, and the serial driver fraction is
+    # exactly what caps N->4N scaling efficiency. Disabled inside the
+    # relay only; analytic sessions keep it on.
+    disable_aqe_in_relay: bool = True
+
     def apply_epoch(self, batch: DataFrame, epoch: int) -> EpochMetrics:
         """The relay body: one change batch through all layers."""
+        if self.disable_aqe_in_relay:
+            prior = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                return self._apply_epoch_inner(batch, epoch)
+            finally:
+                self.spark.conf.set("spark.sql.adaptive.enabled", prior)
+        return self._apply_epoch_inner(batch, epoch)
+
+    def _apply_epoch_inner(self, batch: DataFrame, epoch: int) -> EpochMetrics:
         if self.cache_batches:
             batch = batch.persist()
         t0 = time.monotonic()
@@ -245,6 +285,7 @@ class MedallionPipeline:
         # the row image is null, but conv_id is part of the key so it is
         # always present — deletes propagate to silver/gold (G7 fix).
         affected = silver_plan.compute_affected(batch, self.n_buckets)
+        affected.dense = self._dense_batch(affected)
         enriched = None
         try:
             dates = None
@@ -262,11 +303,11 @@ class MedallionPipeline:
                     batch.where(F.col("ts").isNotNull())
                     .select(F.to_date("ts").alias("business_date"))
                     .unionByName(
-                        silver_plan.read_silver(
-                            self.silver, affected.buckets, bounds=affected.prune()
-                        )
-                        .join(F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi")
-                        .select(F.to_date("ts").alias("business_date"))
+                        affected.semi(
+                            silver_plan.read_silver(
+                                self.silver, affected.buckets, bounds=affected.prune()
+                            )
+                        ).select(F.to_date("ts").alias("business_date"))
                     )
                     .distinct()
                 )
@@ -289,36 +330,12 @@ class MedallionPipeline:
             # (thin-column scan — Parquet never reads text for the agg).
             enriched_for_gold = enriched if self.persist_enriched else None
 
-            def _summary():
-                if self.summary is not None:
-                    gold_plan.refresh_summary_for_conversations(
-                        self.silver, self.summary, affected, epoch=epoch,
-                        enriched=enriched_for_gold,
-                    )
-
-            def _daily():
-                if self.daily is not None:
-                    gold_plan.refresh_daily_rollup(self.silver, self.daily, dates, epoch=epoch)
-
-            if self.parallel_layers and self.summary is not None and self.daily is not None:
-                # Both are pure downstream consumers of committed state
-                # (summary: the persisted enriched frame; daily: the just-
-                # committed silver snapshot) writing to DIFFERENT tables —
-                # running them on two driver threads overlaps their plan
-                # analysis, job scheduling and commit serial fractions.
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    fs = [pool.submit(_summary), pool.submit(_daily)]
-                    for f in fs:
-                        f.result()
-            else:
-                _summary()
-                _daily()
+            self._pending_derived.append((epoch, affected, dates))
+            if len(self._pending_derived) >= max(1, self.derived_every):
+                self._flush_derived(epoch, enriched_for_gold)
             t3 = time.monotonic()
             self._maybe_compact_layers(epoch)
         finally:
-            affected.unpersist()
             if enriched is not None and self.summary is not None and self.persist_enriched:
                 enriched.unpersist()
             if self.cache_batches:
@@ -350,6 +367,26 @@ class MedallionPipeline:
         )
         return m
 
+    def _dense_batch(self, affected) -> bool:
+        """Dense fast path decision: when the batch touches at least half
+        the conversations of its buckets (estimated from the summary
+        table's recorded file row counts — one row per conversation,
+        driver-side, no job), whole-bucket recompute beats key-restricted
+        joins: every broadcast build the semi/anti joins would need is
+        serial driver time. Dense is always CORRECT (it recomputes a
+        superset); this only picks the cheaper plan."""
+        if not affected.buckets or affected.n_keys == 0 or self.summary is None:
+            return False
+        snap = self.summary.snapshot()
+        total = 0
+        for b in affected.buckets:
+            for f in (*snap.files.get(str(b), []), *snap.delta_files.get(str(b), [])):
+                st = snap.file_stats.get(f)
+                if not st or "__rows" not in st:
+                    return False
+                total += int(st["__rows"])
+        return affected.n_keys * 2 >= total
+
     def _compaction_due(self, table: LakeTable, epoch: int) -> bool:
         """Compaction trigger: delta FILE load threshold (the real bound
         on the MoR read tax) OR the epoch cadence — whichever fires
@@ -363,6 +400,81 @@ class MedallionPipeline:
         if depth >= self.compact_delta_depth:
             return True
         return self.compact_every > 0 and (epoch + 1) % self.compact_every == 0
+
+    def _flush_derived(self, epoch: int, enriched_for_gold: DataFrame | None = None) -> None:
+        """Run the gold summary + daily refreshes over everything pending.
+        Epoch-stamped with the NEWEST covered epoch, so a crash between
+        flush and checkpoint replays idempotently."""
+        pend, self._pending_derived = self._pending_derived, []
+        if not pend:
+            return
+        try:
+            if self._derived_behind:
+                # Resume mid-cadence: the skipped epochs' affected sets are
+                # gone — one full rebuild restores exactness, then the
+                # incremental path resumes.
+                if self.summary is not None:
+                    gold_plan.refresh_summary_full(self.silver, self.summary, epoch=epoch)
+                if self.daily is not None:
+                    gold_plan.refresh_daily_rollup(self.silver, self.daily, None, epoch=epoch)
+                self._derived_behind = False
+                return
+            affected = silver_plan.union_affected([a for (_e, a, _d) in pend])
+            affected.dense = self._dense_batch(affected)
+            dates = None
+            if self.daily is not None:
+                date_frames = [d for (_e, _a, d) in pend if d is not None]
+                if date_frames:
+                    dates = date_frames[0]
+                    for d in date_frames[1:]:
+                        dates = dates.unionByName(d)
+                    dates = dates.distinct()
+            if len(pend) > 1:
+                enriched_for_gold = None  # cache covers only the last epoch
+
+            def _summary():
+                if self.summary is not None:
+                    gold_plan.refresh_summary_for_conversations(
+                        self.silver, self.summary, affected, epoch=epoch,
+                        enriched=enriched_for_gold,
+                    )
+
+            def _daily():
+                if self.daily is not None:
+                    gold_plan.refresh_daily_rollup(self.silver, self.daily, dates, epoch=epoch)
+
+            if self.parallel_layers and self.summary is not None and self.daily is not None:
+                # Independent consumers of committed state writing to
+                # DIFFERENT tables — two driver threads overlap their plan
+                # analysis, job scheduling and commit serial fractions.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    for f in [pool.submit(_summary), pool.submit(_daily)]:
+                        f.result()
+            else:
+                _summary()
+                _daily()
+            if len(pend) > 1:
+                affected.unpersist()
+        finally:
+            for _e, a, _d in pend:
+                a.unpersist()
+
+    def finalize(self) -> None:
+        """Flush any pending derived refreshes (end of a bounded replay) —
+        after this, gold state equals what per-epoch refresh would have
+        produced."""
+        if self._pending_derived:
+            last_epoch = self._pending_derived[-1][0]
+            self._flush_derived(last_epoch)
+        elif self._derived_behind:
+            if self.summary is not None:
+                e = self.silver.last_epoch("silver_refresh")
+                gold_plan.refresh_summary_full(self.silver, self.summary, epoch=e)
+                if self.daily is not None:
+                    gold_plan.refresh_daily_rollup(self.silver, self.daily, None, epoch=e)
+            self._derived_behind = False
 
     def _maybe_compact_layers(self, epoch: int) -> None:
         if self.layer_mode != "mor":

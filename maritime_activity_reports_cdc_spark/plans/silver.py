@@ -16,11 +16,15 @@ structural fixes:
   chunking converges (no order-dependent enrichment).
 
 Scale: affected conversations are identified set-wise (distinct on the
-batch — no collect of keys, only of bucket ids); the recompute reads only
-the affected buckets of bronze, filters to affected conversations with a
-broadcast-friendly semi-join, and window-partitions by conv_id — the
-natural key partitioning, skew-bounded because a single conversation's
-turn list is the window unit.
+batch — no collect of keys, only bucket ids + a count). Sparse batches
+restrict the recompute with a broadcast semi-join; dense batches (most
+conversations of the affected buckets touched) skip the key joins
+entirely and recompute whole buckets — every broadcast build is serial
+driver time, so the dense path trades a bounded superset recompute for
+zero broadcasts. The enrichment window partitions by the storage bucket
+(conversation-boundary-guarded lags), so the bucket-partitioned write
+reuses that one exchange; a chunked two-phase variant bounds
+rows-per-task for mega-conversations.
 """
 
 from __future__ import annotations
@@ -247,15 +251,37 @@ def affected_conversations(batch: DataFrame) -> DataFrame:
 class AffectedSet:
     """The per-epoch affected-conversation set, computed ONCE and shared
     by every downstream refresh: a persisted (conv_id, bucket) frame, the
-    distinct bucket list, and the conv_id [min, max] for file pruning —
-    one combined aggregate job instead of one per layer."""
+    distinct bucket list, the conv_id [min, max] for file pruning, and
+    the key count (drives the dense fast path) — one combined aggregate
+    job instead of one per layer."""
 
     keys: DataFrame  # persisted; columns (conv_id, bucket)
     buckets: list[int]
     bounds: tuple | None
+    n_keys: int = 0
+    # Dense mode: the batch touches (almost) every conversation of its
+    # buckets, so key-restricted semi/anti joins are pointless — whole
+    # affected buckets are recomputed with ZERO broadcast builds (the
+    # broadcast construction is serial driver time, the exact thing that
+    # caps N->4N scaling). Always correct — dense only ever recomputes a
+    # superset — so the threshold is a pure performance choice.
+    dense: bool = False
 
     def prune(self) -> dict | None:
         return {"conv_id": self.bounds} if self.bounds else None
+
+    def semi(self, df: DataFrame) -> DataFrame:
+        """Restrict to affected conversations (no-op in dense mode)."""
+        if self.dense:
+            return df
+        return df.join(F.broadcast(self.keys.select("conv_id")), "conv_id", "left_semi")
+
+    def anti(self, df: DataFrame) -> DataFrame | None:
+        """Survivors (None in dense mode: the fresh set covers the
+        buckets entirely, nothing survives by exclusion)."""
+        if self.dense:
+            return None
+        return df.join(F.broadcast(self.keys.select("conv_id")), "conv_id", "left_anti")
 
     def unpersist(self) -> None:
         self.keys.unpersist()
@@ -268,11 +294,11 @@ def compute_affected(batch: DataFrame, n_buckets: int) -> AffectedSet:
         .persist()
     )
     row = keyed.agg(
-        F.collect_set(BUCKET_COL), F.min("conv_id"), F.max("conv_id")
+        F.collect_set(BUCKET_COL), F.min("conv_id"), F.max("conv_id"), F.count("*")
     ).collect()[0]
     buckets = sorted(row[0]) if row[0] else []
     bounds = None if row[1] is None else (row[1], row[2])
-    return AffectedSet(keyed, buckets, bounds)
+    return AffectedSet(keyed, buckets, bounds, n_keys=int(row[3]))
 
 
 def build_enriched(
@@ -294,9 +320,7 @@ def build_enriched(
     from maritime_activity_reports_cdc_spark.operators.apply import read_merged
 
     bronze_slice = read_merged(bronze_table, affected.buckets, bounds=affected.prune())
-    convs = bronze_slice.join(
-        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_semi"
-    )
+    convs = affected.semi(bronze_slice)
     if mega_conv_chunk:
         enriched = enrich_conversations_chunked(convs, chunk_size=mega_conv_chunk)
         enriched = enriched.repartition(F.col(BUCKET_COL))
@@ -305,6 +329,29 @@ def build_enriched(
         # one exchange instead of re-shuffling the fat rows.
         enriched = enrich_conversations(convs, shuffle_key=BUCKET_COL)
     return quality_exprs(enriched)
+
+
+def union_affected(sets: list[AffectedSet]) -> AffectedSet:
+    """Combine per-epoch affected sets for a multi-epoch derived refresh
+    (pipeline derived_every cadence). Single-element unions return the
+    set itself (no extra persist)."""
+    sets = [s for s in sets if s.buckets] or sets[:1]
+    if len(sets) == 1:
+        return sets[0]
+    keys = sets[0].keys
+    for s in sets[1:]:
+        keys = keys.unionByName(s.keys)
+    keys = keys.distinct().persist()
+    buckets = sorted({b for s in sets for b in s.buckets})
+    bounds_list = [s.bounds for s in sets if s.bounds]
+    bounds = (
+        (min(b[0] for b in bounds_list), max(b[1] for b in bounds_list))
+        if bounds_list
+        else None
+    )
+    # n_keys as the sum is an upper bound (overlap across epochs) — it
+    # only ever over-triggers the dense path, which stays correct.
+    return AffectedSet(keys, buckets, bounds, n_keys=sum(s.n_keys for s in sets))
 
 
 def refresh_silver_for_conversations(
@@ -342,13 +389,11 @@ def refresh_silver_for_conversations(
 
     enriched = mor.stamp_generation(enriched, epoch, rank=1)
     target_cols = [f.name for f in silver_table.schema().fields]
-    silver_slice = silver_table.read_partitions(affected.buckets)
-    survivors = silver_slice.join(
-        F.broadcast(affected.keys.select("conv_id")), "conv_id", "left_anti"
-    )
-    merged = survivors.unionByName(enriched.select(*[
+    aligned = enriched.select(*[
         F.col(c) if c in enriched.columns else F.lit(None).alias(c) for c in target_cols
-    ]))
+    ])
+    survivors = affected.anti(silver_table.read_partitions(affected.buckets))
+    merged = aligned if survivors is None else survivors.unionByName(aligned)
     # merged is already clustered by bucket: the fresh side came through
     # the bucket-keyed window exchange, the survivor side through bucket-
     # pure file scans — the write skips its defensive repartition, saving

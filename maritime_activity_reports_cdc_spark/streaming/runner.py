@@ -115,7 +115,10 @@ class CheckpointedReplayer:
             step = max(1, (span + n_chunks - 1) // n_chunks)
         start = time.monotonic()
         if prechunk is None:
-            prechunk = (span + step - 1) // step > 2
+            # Auto only for MANY chunks: the one-time chunk materialization
+            # costs a full shuffle+write (~2 log passes) and saves (N-1)
+            # fat scans — measured net-negative at N<=4 locally.
+            prechunk = (span + step - 1) // step > 6
         chunk_dir = os.path.join(self.checkpoint_dir, "chunks")
         if prechunk and not os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
             spark = changes.sparkSession
@@ -156,6 +159,9 @@ class CheckpointedReplayer:
             self.write_checkpoint(state)
             if fail_after_epoch is not None and i >= fail_after_epoch:
                 raise RuntimeError(f"injected crash after epoch {i}")
+        # bounded replay epilogue: flush any pending derived refreshes
+        # (derived_every cadence) so the final gold state is complete
+        self.pipeline.finalize()
         self.pipeline.flush_observability()
         wall = time.monotonic() - start
         return ReplayReport(

@@ -152,6 +152,46 @@ def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
     changes.unpersist()
 
 
+def test_derived_cadence_matches_per_epoch_refresh(spark, tmp_path):
+    """derived_every>1 (the reference's own gold-trigger ratio) must
+    produce the identical FINAL gold state after finalize(), including
+    across a crash mid-cadence (pending sets lost -> full-rebuild
+    catch-up on resume)."""
+    import pandas as pd
+
+    changes = generate_transcript_changes(
+        spark, n_conversations=25, turns_per_conv=7, update_ratio=0.4,
+        delete_ratio=0.1, seed=19,
+    ).cache()
+
+    p1 = MedallionPipeline.create(spark, str(tmp_path / "ref"), n_buckets=4)
+    CheckpointedReplayer(p1, str(tmp_path / "ck1")).run(changes, n_chunks=6)
+
+    p2 = MedallionPipeline.create(spark, str(tmp_path / "cad"), n_buckets=4, derived_every=3)
+    CheckpointedReplayer(p2, str(tmp_path / "ck2")).run(changes, n_chunks=6)
+
+    p3 = MedallionPipeline.create(spark, str(tmp_path / "crash"), n_buckets=4, derived_every=4)
+    rep3 = CheckpointedReplayer(p3, str(tmp_path / "ck3"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rep3.run(changes, n_chunks=6, fail_after_epoch=2)  # pending lost
+    p3b = MedallionPipeline.load(spark, str(tmp_path / "crash"))
+    p3b.derived_every = 4
+    assert p3b._derived_behind  # gold trails silver after the crash
+    CheckpointedReplayer(p3b, str(tmp_path / "ck3")).run(changes, n_chunks=6)
+
+    def frames(p):
+        s = p.read_summary().drop("_gen", "_rank").orderBy("conv_id").toPandas()
+        d = p.read_daily().drop("_gen", "_rank").orderBy("business_date").toPandas()
+        return s, d
+
+    s1, d1 = frames(p1)
+    for p in (p2, p3b):
+        s, d = frames(p)
+        pd.testing.assert_frame_equal(s1, s.reset_index(drop=True), check_dtype=False)
+        pd.testing.assert_frame_equal(d1, d.reset_index(drop=True), check_dtype=False)
+    changes.unpersist()
+
+
 def test_structured_streaming_feed_matches_batch(spark, tmp_path):
     """S8/T6 parity: the same change log delivered as a parquet file feed
     through readStream+foreachBatch converges to the batch-replay state."""
