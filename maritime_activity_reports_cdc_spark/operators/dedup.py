@@ -49,6 +49,20 @@ def _hasher(hash_fn: str):
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
+# Affine-permutation constants for the md5_48 minhash mode (documented
+# so the DuckDB oracle regenerates the identical family):
+#   m_i(h) = (A(i) * h + B(i)) mod P,  A odd and < 2^7, P = 2^61 - 1
+MINHASH_P = (1 << 61) - 1
+
+
+def MINHASH_A(i: int) -> int:
+    return 2 * i + 3
+
+
+def MINHASH_B(i: int) -> int:
+    return 7919 * (i + 1)
+
+
 def exact_fingerprint(col: str | F.Column = "text") -> F.Column:
     """Content fingerprint over normalized text (md5 so external engines
     can reproduce it bit-for-bit)."""
@@ -119,13 +133,25 @@ def minhash_signatures(
     seeds of array_min over shingles — runs interpreted and rebuilds the
     shingle array per seed: measured ~500x slower.)
     """
-    # hash the shingle string ONCE, then derive the n permutations by
-    # re-hashing the 8-byte value — string hashing is the dominant cost
+    # hash the shingle string ONCE, then derive the n permutations from
+    # the base value — string hashing is the dominant cost
     H = _hasher(hash_fn)
     ex = shingle_table(df, id_col, text_col, shingle_n).select(
         "_id", H(F.col("_s")).alias("_h")
     )
-    mins = [F.min(H(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(n_hashes)]
+    if hash_fn == "md5_48":
+        # affine universal-hash permutations: pure 64-bit integer ops
+        # (codegen'd, and bit-identical in DuckDB — no per-permutation
+        # md5). h < 2^48 and a < 2^7, so a*h + b < 2^56: no overflow.
+        mins = [
+            F.min(
+                (F.lit(MINHASH_A(i)) * F.col("_h") + F.lit(MINHASH_B(i)))
+                % F.lit(MINHASH_P)
+            ).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        mins = [F.min(H(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(n_hashes)]
     agg = ex.groupBy("_id").agg(*mins)
     return agg.select(
         F.col("_id").alias(id_col),

@@ -658,8 +658,16 @@ def minhash_lsh_docs(spark, sf):
 def _minhash_sql(n_hashes: int = 64, bands: int = 16, min_est: float = 0.2) -> str:
     rows = n_hashes // bands
     h48 = lambda e: f"('0x' || substr(md5({e}), 1, 12))::BIGINT"  # noqa: E731
+    from maritime_activity_reports_cdc_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    # affine permutations over the 48-bit base hash — same constants the
+    # Spark operator uses (dedup.MINHASH_A/B/P), pure BIGINT arithmetic
     mins = ",\n         ".join(
-        "min({h}) AS m{i}".format(h=h48(str(i) + " || ':' || h"), i=i)
+        f"min(({MINHASH_A(i)} * h + {MINHASH_B(i)}) % {MINHASH_P}) AS m{i}"
         for i in range(n_hashes)
     )
     band_rows = "\n  UNION ALL\n  ".join(
