@@ -124,6 +124,7 @@ def read_merged(
     bounds: dict | None = None,
     keys: tuple[str, ...] = DEFAULT_KEYS,
     order: tuple[str, ...] = DEFAULT_ORDER,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Merge-on-read resolved view: base ∪ delta rows, one winner per key
     in ``order``, delete tombstones dropped. On a pure-CoW table (no
@@ -137,17 +138,30 @@ def read_merged(
     before a compaction under uniform-update load) the split would scan
     the base twice for nothing, so the resolve falls back to one scan +
     one map-side-combined hash-agg over base ∪ delta.
+
+    ``columns``: project the resolution to these output columns. The
+    dedup carries whole row structs through its shuffle — Catalyst
+    cannot prune into ``max_by(struct(*))`` — so thin consumers (aggs
+    that never touch text) MUST pass their column set or they shuffle
+    the fat payload for nothing.
     """
     values = buckets if buckets is not None else table.partition_values()
     snap = table.snapshot()
+
+    def _prj(df: DataFrame) -> DataFrame:
+        if columns is None:
+            return df
+        need = list(dict.fromkeys([*keys, *order, "op", *columns]))
+        return df.select(*[c for c in need if c in df.columns])
+
     has_deltas = any(snap.delta_files.get(_k) for _k in map(str, values))
     if not has_deltas:
         # Lake-level read hides retained tombstones (op='D') by default.
-        return table.read_partitions(values, bounds=bounds, deltas="exclude")
+        return _prj(table.read_partitions(values, bounds=bounds, deltas="exclude"))
     if _delta_fraction_small(snap, values):
         # Resolution must see tombstones: base D beats an OLDER delta U.
-        base = table.read_partitions(values, bounds=bounds, tombstones="include")
-        delta = table.read_partitions(values, deltas="only", tombstones="include")
+        base = _prj(table.read_partitions(values, bounds=bounds, tombstones="include"))
+        delta = _prj(table.read_partitions(values, deltas="only", tombstones="include"))
         contested_keys = delta.select(*keys).distinct()
         clean = base.join(F.broadcast(contested_keys), list(keys), "left_anti")
         contested = base.join(
@@ -155,10 +169,12 @@ def read_merged(
         ).unionByName(delta)
         resolved = clean.unionByName(dedup_latest(contested, keys, order, strategy="agg"))
     else:
-        both = table.read_partitions(
-            values, bounds=bounds, deltas="include", tombstones="include"
-        )
-        resolved = dedup_latest(both, keys, order, strategy="agg")
+        # bounds prune BASE files only (same contract as the split
+        # branch): delta files carry narrow per-epoch key spans, and
+        # pruning them would drop keys whose only rows live in deltas.
+        base = _prj(table.read_partitions(values, bounds=bounds, tombstones="include"))
+        delta = _prj(table.read_partitions(values, deltas="only", tombstones="include"))
+        resolved = dedup_latest(base.unionByName(delta), keys, order, strategy="agg")
     return resolved.where((F.col("op").isNull()) | (F.col("op") != "D"))
 
 

@@ -135,6 +135,7 @@ def read_resolved(
     group_cols: list[str],
     partition_values: list | None = None,
     bounds: dict | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Resolved view of a generation-MoR table. On a delta-free table
     this is the plain base scan — zero overhead (compaction restores the
@@ -152,13 +153,20 @@ def read_resolved(
         partition_values if partition_values is not None else table.partition_values()
     )
     snap = table.snapshot()
+
+    def _prj(df: DataFrame) -> DataFrame:
+        if columns is None:
+            return df
+        need = list(dict.fromkeys([*group_cols, GEN_COL, RANK_COL, *columns]))
+        return df.select(*[c for c in need if c in df.columns])
+
     has_deltas = any(snap.delta_files.get(str(v)) for v in values)
-    base = table.read_partitions(values, bounds=bounds)
+    base = _prj(table.read_partitions(values, bounds=bounds))
     if not has_deltas:
         if RANK_COL in base.columns:
             base = base.where(F.coalesce(F.col(RANK_COL), F.lit(1)) == 1)
         return base
-    delta = table.read_partitions(values, deltas="only")
+    delta = _prj(table.read_partitions(values, deltas="only"))
     return resolve_generations(
         base, delta, group_cols, split=_delta_fraction_small(snap, values)
     )

@@ -30,6 +30,13 @@ from maritime_activity_reports_cdc_spark.operators import mor
 from maritime_activity_reports_cdc_spark.operators.apply import BUCKET_COL, bucket_expr
 from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
 
+# the summary agg's input column set — passed into MoR-resolved silver
+# reads so the resolve shuffle never carries text
+SUMMARY_INPUT_COLS = [
+    "conv_id", "role", "tool", "ts", "gap_secs", "n_tokens",
+    "quality_score", "is_anomalous",
+]
+
 SUMMARY_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -156,7 +163,13 @@ def refresh_summary_for_conversations(
     if enriched is None:
         from maritime_activity_reports_cdc_spark.plans.silver import read_silver
 
-        silver_slice = read_silver(silver_table, affected.buckets, bounds=affected.prune())
+        # dense mode recomputes EVERY conversation of the buckets, so the
+        # batch's conv-span bounds must not prune the scan
+        silver_slice = read_silver(
+            silver_table, affected.buckets,
+            bounds=None if affected.dense else affected.prune(),
+            columns=SUMMARY_INPUT_COLS,
+        )
         enriched = affected.semi(silver_slice)
     fresh = conversation_summary(enriched).withColumn(
         BUCKET_COL, bucket_expr("conv_id", n_buckets)
@@ -199,9 +212,9 @@ def refresh_summary_full(
     if summary_table.last_epoch(source) >= epoch:
         return False
     n_buckets = int(summary_table.properties()["n_buckets"])
-    fresh = conversation_summary(read_silver(silver_table)).withColumn(
-        BUCKET_COL, bucket_expr("conv_id", n_buckets)
-    )
+    fresh = conversation_summary(
+        read_silver(silver_table, columns=SUMMARY_INPUT_COLS)
+    ).withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
     fresh = mor.stamp_generation(fresh, epoch, rank=1)
     target_cols = [f.name for f in summary_table.schema().fields]
     summary_table.overwrite(
@@ -241,13 +254,19 @@ def refresh_daily_rollup(
         # ts bounds prune silver BASE files only (delta generations must
         # be read whole — see mor.read_resolved); safe because base rows
         # of one conversation are single-generation after compaction.
-        silver_rows = read_silver(silver_table, bounds={"ts": (lo, hi)})
+        silver_rows = read_silver(
+            silver_table, bounds={"ts": (lo, hi)},
+            columns=["conv_id", "ts", "role", "n_tokens", "quality_score"],
+        )
         rows = silver_rows.withColumn("business_date", F.to_date("ts")).where(
             F.col("business_date").isin(dates)
         )
     else:
         dates = None
-        rows = read_silver(silver_table).withColumn("business_date", F.to_date("ts"))
+        rows = read_silver(
+            silver_table,
+            columns=["conv_id", "ts", "role", "n_tokens", "quality_score"],
+        ).withColumn("business_date", F.to_date("ts"))
     rollup = rows.groupBy("business_date").agg(
         F.countDistinct("conv_id").alias("n_active_conversations"),
         F.count("*").alias("n_turns"),

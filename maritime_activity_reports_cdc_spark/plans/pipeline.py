@@ -305,24 +305,32 @@ class MedallionPipeline:
                     .unionByName(
                         affected.semi(
                             silver_plan.read_silver(
-                                self.silver, affected.buckets, bounds=affected.prune()
+                                self.silver, affected.buckets, bounds=affected.prune(),
+                                columns=["conv_id", "ts"],
                             )
                         ).select(F.to_date("ts").alias("business_date"))
                     )
                     .distinct()
                 )
-            # Fresh silver rows for the affected conversations — computed
-            # ONCE, persisted, and fed to both the silver write and the
-            # gold summary agg (no silver re-read between layers).
-            if affected.buckets:
-                enriched = silver_plan.build_enriched(
-                    self.bronze, affected, mega_conv_chunk=self.mega_conv_chunk
+            if self.layer_mode == "turn":
+                # turn-level incremental refresh: O(batch) fat work per
+                # epoch (fresh rows from the batch, ≤1 successor per key)
+                silver_plan.refresh_silver_turn(
+                    self.bronze, self.silver, batch, affected, epoch=epoch
                 )
-                if self.summary is not None and self.persist_enriched:
-                    enriched = enriched.persist()
-            silver_plan.refresh_silver_for_conversations(
-                self.bronze, self.silver, affected, epoch=epoch, enriched=enriched
-            )
+            else:
+                # Fresh silver rows for the affected conversations —
+                # computed ONCE and fed to both the silver write and
+                # (optionally) the gold summary agg.
+                if affected.buckets:
+                    enriched = silver_plan.build_enriched(
+                        self.bronze, affected, mega_conv_chunk=self.mega_conv_chunk
+                    )
+                    if self.summary is not None and self.persist_enriched:
+                        enriched = enriched.persist()
+                silver_plan.refresh_silver_for_conversations(
+                    self.bronze, self.silver, affected, epoch=epoch, enriched=enriched
+                )
             t2 = time.monotonic()
 
             # Only feed the cached frame to gold when it actually IS
@@ -477,6 +485,18 @@ class MedallionPipeline:
             self._derived_behind = False
 
     def _maybe_compact_layers(self, epoch: int) -> None:
+        if self.layer_mode == "turn":
+            from maritime_activity_reports_cdc_spark.operators.apply import compact
+
+            if self._compaction_due(self.silver, epoch):
+                # refresh generations are monotonic -> no out-of-order
+                # hazard at this layer; tombstones fold away entirely
+                compact(
+                    self.silver, keys=("conv_id", "turn_idx"), order=("_gen",),
+                    summary={"epoch": epoch},
+                    drop_tombstones_below_lsn=epoch + 1,
+                )
+            return
         if self.layer_mode != "mor":
             return
         from maritime_activity_reports_cdc_spark.operators import mor as mor_op
@@ -497,6 +517,11 @@ class MedallionPipeline:
 
         if self.bronze_mode == "mor":
             compact(self.bronze)
+        if self.layer_mode == "turn":
+            compact(
+                self.silver, keys=("conv_id", "turn_idx"), order=("_gen",),
+                drop_tombstones_below_lsn=self.silver.last_epoch("silver_refresh") + 1,
+            )
         if self.layer_mode == "mor":
             for table, group in (
                 (self.silver, ["conv_id"]),

@@ -66,30 +66,54 @@ def create_silver_table(
     """``layer_mode``: 'cow' replaces affected buckets per refresh (read-
     optimized); 'mor' appends generation-tagged deltas resolved on read
     (write-optimized — refresh I/O ∝ batch, not ∝ affected buckets)."""
+    props = {
+        "n_buckets": n_buckets,
+        # ts bounds let the daily-rollup refresh prune to affected dates
+        "stats_cols": ["conv_id", "ts"],
+        "layer_mode": layer_mode,
+    }
+    if layer_mode == "turn":
+        # turn-level key-MoR: delete tombstone rows live in the deltas;
+        # lake-level reads must hide them
+        props["retain_tombstones"] = True
     return LakeTable.create(
         spark,
         path,
         schema=silver_table_schema(),
         partition_by=BUCKET_COL,
-        # ts bounds let the daily-rollup refresh prune to affected dates
-        properties={
-            "n_buckets": n_buckets,
-            "stats_cols": ["conv_id", "ts"],
-            "layer_mode": layer_mode,
-        },
+        properties=props,
     )
 
 
-def read_silver(silver_table: LakeTable, buckets=None, bounds=None) -> DataFrame:
-    """Mode-dispatched resolved view of silver state. For generation-MoR
-    tables, ts/conv bounds prune base files only (see mor.read_resolved)."""
-    from maritime_activity_reports_cdc_spark.operators import mor
+def read_silver(
+    silver_table: LakeTable, buckets=None, bounds=None, columns: list[str] | None = None
+) -> DataFrame:
+    """Mode-dispatched resolved view of silver state. For MoR tables,
+    ts/conv bounds prune base files only (delta files are read whole).
 
-    if silver_table.properties().get("layer_mode") == "mor":
-        return mor.read_resolved(silver_table, ["conv_id"], buckets, bounds)
+    ``columns``: thin consumers (aggs that never touch text) should pass
+    their column set — MoR resolution carries whole rows through its
+    shuffle otherwise (Catalyst cannot prune into the resolve)."""
+    from maritime_activity_reports_cdc_spark.operators import mor
+    from maritime_activity_reports_cdc_spark.operators.apply import read_merged
+
+    mode = silver_table.properties().get("layer_mode")
+    if mode == "mor":
+        return mor.read_resolved(silver_table, ["conv_id"], buckets, bounds, columns=columns)
+    if mode == "turn":
+        # key-based MoR: one winner per (conv_id, turn_idx) in refresh-
+        # epoch order; delete tombstones hidden.
+        return read_merged(
+            silver_table, buckets, bounds=bounds,
+            keys=("conv_id", "turn_idx"), order=("_gen",), columns=columns,
+        )
     if buckets is None:
-        return silver_table.read()
-    return silver_table.read_partitions(buckets, bounds=bounds)
+        df = silver_table.read()
+    else:
+        df = silver_table.read_partitions(buckets, bounds=bounds)
+    if columns is not None:
+        df = df.select(*[c for c in dict.fromkeys(["conv_id", *columns]) if c in df.columns])
+    return df
 
 
 def quality_exprs(df: DataFrame) -> DataFrame:
@@ -319,7 +343,12 @@ def build_enriched(
     # read_merged resolves bronze MoR deltas when present (no-op for CoW).
     from maritime_activity_reports_cdc_spark.operators.apply import read_merged
 
-    bronze_slice = read_merged(bronze_table, affected.buckets, bounds=affected.prune())
+    # dense mode recomputes EVERY conversation of the buckets — the
+    # batch's conv-span bounds must not prune the source scan
+    bronze_slice = read_merged(
+        bronze_table, affected.buckets,
+        bounds=None if affected.dense else affected.prune(),
+    )
     convs = affected.semi(bronze_slice)
     if mega_conv_chunk:
         enriched = enrich_conversations_chunked(convs, chunk_size=mega_conv_chunk)
@@ -329,6 +358,163 @@ def build_enriched(
         # one exchange instead of re-shuffling the fat rows.
         enriched = enrich_conversations(convs, shuffle_key=BUCKET_COL)
     return quality_exprs(enriched)
+
+
+def refresh_silver_turn(
+    bronze_table: LakeTable,
+    silver_table: LakeTable,
+    batch: DataFrame,
+    affected: AffectedSet,
+    epoch: int,
+    source: str = "silver_refresh",
+) -> bool:
+    """TURN-level incremental silver refresh — epoch cost O(batch) in the
+    fat-text dimension, even when every conversation is touched.
+
+    The per-conversation recompute (`build_enriched`) re-derives a whole
+    conversation's rows when ONE of its turns changes; under dense
+    update load that is a near-full-table fat pass per epoch. But the
+    only rows whose SILVER value actually changes are:
+
+    - the changed turns themselves — and their text/image comes from the
+      batch winners (full-row CDC images), no bronze fat read at all;
+    - each changed turn's LIVE SUCCESSOR (the next turn in the new
+      state), whose window-derived columns (gap/turn_gap/transition)
+      depend on its predecessor — at most one per changed key, fetched
+      from current silver.
+
+    Window context (each affected turn's predecessor values) comes from
+    one THIN pass over post-apply bronze (4 columns, text never read).
+    Fresh rows + delete tombstones append as one key-MoR delta ordered
+    by the refresh epoch; reads resolve via read_merged and compaction
+    folds (tombstones dropped — generations are monotonic, so no
+    out-of-order hazard exists at this layer).
+
+    Requires full row images on U events (true for this change-log
+    model; partial-update feeds need the per-conversation path).
+    """
+    from maritime_activity_reports_cdc_spark.operators import mor
+    from maritime_activity_reports_cdc_spark.operators.apply import (
+        dedup_latest,
+        read_merged,
+    )
+
+    if silver_table.last_epoch(source) >= epoch:
+        return False
+    if not affected.buckets:
+        silver_table.commit_epoch_noop(source, epoch, {"rows": 0})
+        return True
+    n_buckets = int(silver_table.properties()["n_buckets"])
+    winners = dedup_latest(batch)
+
+    # 1. thin window pass over post-apply bronze state: predecessor
+    # values for every live turn of the affected buckets
+    thin = read_merged(bronze_table, affected.buckets, bounds=affected.prune()).select(
+        "conv_id", "turn_idx", "ts", "role"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    thin = (
+        thin.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+        .withColumn("_prev_role", F.lag("role").over(w))
+    )
+
+    # 2. affected turns: a live row is affected iff a batch key falls in
+    # [new_prev_idx, turn_idx] — covers the changed turn itself (b ==
+    # turn), the successor of an insert that BECAME its predecessor
+    # (b == new prev), the successor of an updated predecessor, and the
+    # successor of a delete (old prev lies strictly inside the new gap).
+    # Each batch key flags at most itself + one live successor.
+    bk = winners.select(
+        F.col("conv_id").alias("_bc"), F.col("turn_idx").alias("_bt")
+    )
+    gap_lo = F.coalesce(F.col("_prev_idx"), F.lit(-2147483648))
+    affected_turns = thin.join(
+        F.broadcast(bk),
+        on=[
+            F.col("conv_id") == F.col("_bc"),
+            F.col("_bt") >= gap_lo,
+            F.col("_bt") <= F.col("turn_idx"),
+        ],
+        how="left_semi",
+    ).select("conv_id", "turn_idx", "_prev_ts", "_prev_idx", "_prev_role")
+
+    # 3. fat row images: changed turns from the batch itself; successors
+    # from current silver (their text is unchanged by definition)
+    image_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+                  "op", "lsn", "op_ordinal", "commit_ts"]
+    upserts = winners.where(F.col("op") != "D").select(*image_cols)
+    succ_keys = affected_turns.select("conv_id", "turn_idx").join(
+        winners.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    )
+    # Successor fetch with the semi-join pushed BELOW the MoR resolve:
+    # filtering base and delta rows to the (small) successor key set
+    # BEFORE dedup means the resolve shuffles O(successors) rows instead
+    # of re-resolving the whole silver slice with its text payload.
+    skeys = ["conv_id", "turn_idx"]
+    s_base = silver_table.read_partitions(
+        affected.buckets, bounds=affected.prune(), tombstones="include"
+    ).join(F.broadcast(succ_keys), skeys, "left_semi")
+    s_delta = silver_table.read_partitions(
+        affected.buckets, deltas="only", tombstones="include"
+    ).join(F.broadcast(succ_keys), skeys, "left_semi")
+    from maritime_activity_reports_cdc_spark.operators.apply import (
+        dedup_latest as _dedup,
+    )
+
+    successors = (
+        _dedup(s_base.unionByName(s_delta), ("conv_id", "turn_idx"), ("_gen",))
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(*image_cols)
+    )
+    fat = upserts.unionByName(successors)
+
+    # 4. enrichment: window columns from the thin pass, per-row text
+    # metrics recomputed, quality cascade on top
+    rows = fat.join(affected_turns, ["conv_id", "turn_idx"], "inner")
+    prev_ts, prev_idx, prev_role = (
+        F.col("_prev_ts"), F.col("_prev_idx"), F.col("_prev_role")
+    )
+    enriched = (
+        rows.withColumn("text_len", F.length("text").cast("int"))
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), F.lit(0)
+            ).otherwise(F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1).cast("int"),
+        )
+        .withColumn("text_fp", F.xxhash64("text"))
+        .withColumn("gap_secs", F.col("ts").cast("double") - prev_ts.cast("double"))
+        .withColumn("turn_gap", (F.col("turn_idx") - prev_idx).cast("int"))
+        .withColumn(
+            "is_role_transition",
+            F.when(prev_role.isNull(), F.lit(True)).otherwise(F.col("role") != prev_role),
+        )
+        .drop("_prev_ts", "_prev_idx", "_prev_role")
+    )
+    enriched = quality_exprs(enriched).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", n_buckets)
+    )
+    tombs = winners.where(F.col("op") == "D").select(
+        "conv_id", "turn_idx", "op", "lsn", "op_ordinal", "commit_ts"
+    ).withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
+
+    schema = silver_table.schema()
+    cols = [f.name for f in schema.fields]
+
+    def _align(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                (F.col(c) if c in df.columns else F.lit(None)).cast(schema[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+
+    delta = mor.stamp_generation(
+        _align(enriched).unionByName(_align(tombs)), epoch, rank=1
+    ).select(*cols)
+    silver_table.append_deltas(delta, summary={"source": source}, epoch=(source, epoch))
+    return True
 
 
 def union_affected(sets: list[AffectedSet]) -> AffectedSet:

@@ -626,9 +626,17 @@ class LakeTable:
                     out[rel] = stats
             return out
         root = self.path
-        pairs = self.spark.sparkContext.parallelize(rels, max(2, len(rels) // 32)).map(
-            lambda rel: (rel, _footer_stats(os.path.join(root, rel), stats_cols))
-        ).collect()
+        # The worker must be serialized BY VALUE (nested def): a module-
+        # level function pickles by qualified name, which executors can't
+        # import unless the package was shipped via --py-files.
+        stats_fn = _footer_stats_impl()
+
+        def _work(rel: str):
+            return rel, stats_fn(os.path.join(root, rel), stats_cols)
+
+        pairs = self.spark.sparkContext.parallelize(
+            rels, max(2, len(rels) // 32)
+        ).map(_work).collect()
         return {rel: st for rel, st in pairs if st}
 
     def _check_epoch(self, parent: Snapshot, source: str, epoch: int) -> None:
@@ -730,51 +738,63 @@ def _part_key(value: Any) -> str:
     return "" if value is None else str(value)
 
 
+def _footer_stats_impl():
+    """Build the footer-stats closure. Returned as a NESTED function so
+    cloudpickle serializes it by value — executors can run it without
+    being able to import this package (no --py-files requirement for
+    the distributed stats job)."""
+
+    def _stats(path: str, stats_cols: list[str]) -> dict[str, Any]:
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.read_metadata(path)
+        except Exception:
+            return {}
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in stats_cols or col.statistics is None:
+                    continue
+                st = col.statistics
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                if not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except Exception:
+                        continue
+                if isinstance(lo, _dt.datetime):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                if not isinstance(lo, (str, int, float)):
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        out: dict[str, Any] = {c: [mins[c], maxs[c]] for c in mins}
+        out["__rows"] = md.num_rows
+        for c, n in nulls.items():
+            out[f"__nulls_{c}"] = n
+        return out
+
+    return _stats
+
+
 def _footer_stats(path: str, stats_cols: list[str]) -> dict[str, Any]:
     """Per-file metadata from the parquet footer (no data read): min/max
     per stats column (JSON-safe scalars; timestamps as ISO strings), plus
     ``__rows`` and ``__nulls_<col>`` counts. Footer-derived lineage lets
     the MoR apply skip a whole pre-write statistics pass."""
-    import datetime as _dt
-
-    import pyarrow.parquet as pq
-
-    try:
-        md = pq.read_metadata(path)
-    except Exception:
-        return {}
-    mins: dict[str, Any] = {}
-    maxs: dict[str, Any] = {}
-    nulls: dict[str, int] = {}
-    for rg in range(md.num_row_groups):
-        row_group = md.row_group(rg)
-        for ci in range(row_group.num_columns):
-            col = row_group.column(ci)
-            name = col.path_in_schema
-            if name not in stats_cols or col.statistics is None:
-                continue
-            st = col.statistics
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-            if not st.has_min_max:
-                continue
-            lo, hi = st.min, st.max
-            if isinstance(lo, bytes):
-                try:
-                    lo, hi = lo.decode(), hi.decode()
-                except Exception:
-                    continue
-            if isinstance(lo, _dt.datetime):
-                lo, hi = lo.isoformat(), hi.isoformat()
-            if not isinstance(lo, (str, int, float)):
-                continue
-            mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    out: dict[str, Any] = {c: [mins[c], maxs[c]] for c in mins}
-    out["__rows"] = md.num_rows
-    for c, n in nulls.items():
-        out[f"__nulls_{c}"] = n
-    return out
+    return _footer_stats_impl()(path, stats_cols)
 
 
 def _stats_overlap(stats: dict[str, Any] | None, bounds: dict[str, tuple]) -> bool:

@@ -86,6 +86,52 @@ def test_mor_pipeline_matches_cow_pipeline(spark, tmp_path, changes):
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_turn_incremental_silver_matches_cow(spark, tmp_path, changes):
+    """layer_mode='turn' (turn-level key-MoR silver: fresh rows from the
+    batch + ≤1 successor per changed key) must resolve to exactly the
+    CoW pipeline's state — window columns (gap_secs/turn_gap/role
+    transitions) included, across chunked replay, crash-resume, deletes,
+    and compaction."""
+    cow = MedallionPipeline.create(spark, str(tmp_path / "cow"), n_buckets=4)
+    CheckpointedReplayer(cow, str(tmp_path / "ckc")).run(changes, n_chunks=5)
+
+    tn = MedallionPipeline.create(
+        spark, str(tmp_path / "turn"), n_buckets=4,
+        bronze_mode="mor", layer_mode="turn", compact_every=0, compact_delta_depth=10**6,
+    )
+    rep = CheckpointedReplayer(tn, str(tmp_path / "ckt"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rep.run(changes, n_chunks=5, fail_after_epoch=1)
+    tn2 = MedallionPipeline.load(spark, str(tmp_path / "turn"))
+    assert tn2.layer_mode == "turn"
+    CheckpointedReplayer(tn2, str(tmp_path / "ckt")).run(changes, n_chunks=5)
+
+    def check(p):
+        pairs = [
+            (["conv_id", "turn_idx", "text", "n_tokens", "gap_secs", "turn_gap",
+              "is_role_transition", "quality_score"],
+             cow.read_silver(), p.read_silver()),
+            (["conv_id", "n_turns", "total_tokens", "avg_gap_secs", "max_gap_secs",
+              "risk_level"], cow.read_summary(), p.read_summary()),
+            (["business_date", "n_active_conversations", "n_turns", "total_tokens",
+              "avg_quality"], cow.read_daily(), p.read_daily()),
+        ]
+        for cols, a_df, b_df in pairs:
+            a = a_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+            b = b_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    assert tn2.silver.delta_partition_values(), "turn deltas should be uncompacted"
+    check(tn2)                    # resolve path
+    tn2.compact_all()
+    assert tn2.silver.delta_partition_values() == []
+    # tombstones folded away entirely (generations are monotonic)
+    from pyspark.sql import functions as SF
+    raw = tn2.silver.read(tombstones="include")
+    assert raw.where(SF.col("op") == "D").count() == 0
+    check(tn2)                    # read-optimized path
+
+
 def test_gen_mor_layer_pipeline_matches_cow(spark, tmp_path, changes):
     """Write-optimized derived layers (generation-MoR silver/summary/
     daily) must resolve to exactly the CoW pipeline's state — mid-replay
