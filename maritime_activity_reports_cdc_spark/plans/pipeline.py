@@ -119,6 +119,11 @@ class MedallionPipeline:
     # plain per-bucket window; set when single conversations can exceed
     # ~10^5 turns so no window task serializes one conversation).
     mega_conv_chunk: int | None = None
+    # Retention maintenance cadence: when set, every table expires
+    # snapshots down to the newest N after an epoch whose derived work is
+    # fully flushed (pending date-frames pin PRE-refresh file lists, so
+    # expiry only runs when nothing is pinned). None = manual/CLI only.
+    expire_keep_last: int | None = None
     # Cache the change batch across the relay's passes. Off by default:
     # deserialized caching of fat text rows costs more (JVM heap churn +
     # GC) than re-scanning the compressed, column-pruned parquet chunk —
@@ -343,6 +348,11 @@ class MedallionPipeline:
                 self._flush_derived(epoch, enriched_for_gold)
             t3 = time.monotonic()
             self._maybe_compact_layers(epoch)
+            if self.expire_keep_last is not None and not self._pending_derived:
+                for table in (self.bronze, self.silver, self.summary, self.daily,
+                              self.conv_master, self.lineage, self.metrics):
+                    if table is not None:
+                        table.expire_snapshots(keep_last=self.expire_keep_last)
         finally:
             if enriched is not None and self.summary is not None and self.persist_enriched:
                 enriched.unpersist()

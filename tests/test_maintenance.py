@@ -115,6 +115,43 @@ def test_commit_rewrites_only_touched_partition_manifests(spark, tmp_path):
     assert t.read().where(F.col("conv_id") == "c0").collect()[0].text == "t0v2"
 
 
+def test_relay_with_expiry_cadence_converges_and_bounds_metadata(spark, tmp_path):
+    """expire_keep_last wired into the relay: state equals the
+    no-expiry pipeline and the manifest count stays bounded instead of
+    growing with epochs."""
+    import pandas as pd
+
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.streaming.runner import CheckpointedReplayer
+
+    changes = generate_transcript_changes(
+        spark, n_conversations=25, turns_per_conv=6, update_ratio=0.3,
+        delete_ratio=0.1, seed=37,
+    ).cache()
+    ref = MedallionPipeline.create(spark, str(tmp_path / "ref"), n_buckets=4)
+    CheckpointedReplayer(ref, str(tmp_path / "ck1")).run(changes, n_chunks=6)
+
+    exp = MedallionPipeline.create(spark, str(tmp_path / "exp"), n_buckets=4,
+                                   bronze_mode="mor")
+    exp.expire_keep_last = 3
+    CheckpointedReplayer(exp, str(tmp_path / "ck2")).run(changes, n_chunks=6)
+
+    a = ref.read_silver().select("conv_id", "turn_idx", "text", "gap_secs").toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = exp.read_silver().select("conv_id", "turn_idx", "text", "gap_secs").toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    n_manifests = len([n for n in os.listdir(os.path.join(exp.silver.path, "_manifests"))
+                       if n.startswith("v")])
+    assert n_manifests <= 3
+    # still writable + exactly-once intact after expiry
+    import maritime_activity_reports_cdc_spark.plans.bronze as bz
+    res = bz.apply_transcript_batch(exp.bronze, changes.limit(0), epoch=2)
+    assert not res.applied  # old epoch still guarded post-expiry
+    changes.unpersist()
+
+
 def test_rewrite_resolves_mor_deltas_and_keeps_tombstones(spark, tmp_path):
     changes = generate_transcript_changes(
         spark, n_conversations=25, turns_per_conv=6, update_ratio=0.4,
