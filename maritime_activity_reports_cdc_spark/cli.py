@@ -151,12 +151,37 @@ def cmd_rewrite(args) -> dict:
     spark = _spark(args)
     p = MedallionPipeline.load(spark, args.root)
     table = {"bronze": p.bronze, "silver": p.silver}[args.table]
+    # Resolve semantics follow the table's layer mode (same dispatch as
+    # pipeline._maybe_compact_layers): turn-mode silver deltas are ordered
+    # by refresh generation — a re-enriched row keeps its (lsn, op_ordinal)
+    # envelope, so resolving by lsn would tie-break arbitrarily and could
+    # keep a stale image. Generation-MoR tables are folded via
+    # compact_generations (rewrite_files is key-MoR/CoW only).
+    mode = p.layer_mode if args.table == "silver" else "cow"
+    if mode == "mor":
+        from maritime_activity_reports_cdc_spark.operators import mor as mor_op
+
+        folded = mor_op.compact_generations(table, ["conv_id"])
+        return {"table": args.table, "mode": "mor", "folded": folded}
+    if mode == "turn":
+        order = ("_gen",)
+        # turn-mode tombstone retention is governed by _gen: refresh
+        # generations are monotonic, so everything below the current
+        # refresh epoch is safe to drop (matches compact_all)
+        horizon = (
+            args.drop_tombstones_below_lsn
+            if args.drop_tombstones_below_lsn is not None
+            else table.last_epoch("silver_refresh") + 1
+        )
+    else:
+        order = ("lsn", "op_ordinal")
+        horizon = args.drop_tombstones_below_lsn
     n = rewrite_files(
-        table, sort_by=("conv_id", "turn_idx"),
+        table, sort_by=("conv_id", "turn_idx"), order=order,
         target_file_rows=args.target_file_rows,
-        drop_tombstones_below_lsn=args.drop_tombstones_below_lsn,
+        drop_tombstones_below_lsn=horizon,
     )
-    return {"table": args.table, "partitions_rewritten": n}
+    return {"table": args.table, "mode": mode, "partitions_rewritten": n}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -201,7 +226,11 @@ def build_parser() -> argparse.ArgumentParser:
     rw.add_argument("--root", required=True)
     rw.add_argument("--table", choices=["bronze", "silver"], default="bronze")
     rw.add_argument("--target-file-rows", type=int, default=None)
-    rw.add_argument("--drop-tombstones-below-lsn", type=int, default=None)
+    rw.add_argument(
+        "--drop-tombstones-below-lsn", type=int, default=None,
+        help="tombstone horizon: an LSN for cow/key-MoR tables; a refresh "
+             "generation for turn-mode silver (default there: current epoch)",
+    )
     return ap
 
 

@@ -346,9 +346,10 @@ def apply_changes(
     winners = dedup_latest(changes, keys, order, strategy=dedup_strategy)
     winners = winners.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets))
     # Normalize tombstones: null the row image of D winners (keys, order
-    # and envelope stay). Makes the footer null-count of the table's
-    # `mor_tombstone_col` an exact per-file delete count and keeps stale
-    # payloads out of persisted tombstone rows.
+    # and envelope stay). When the table declares a `mor_tombstone_col`
+    # that is non-null for every I/U row (the property's contract), the
+    # footer null-count of that column is an exact per-file delete count;
+    # it also keeps stale payloads out of persisted tombstone rows.
     winners = _null_tombstone_image(winners, keys, order)
 
     if apply_mode == "mor":
@@ -358,8 +359,14 @@ def apply_changes(
         # separate statistics pass runs. D tombstones are counted via the
         # footer null-count of the table's declared `mor_tombstone_col`
         # (a row-image column the apply nulls for D rows — see
-        # _null_tombstone_image); tables without the property fall back to
-        # an explicit (small) counting aggregate.
+        # _null_tombstone_image). Declaring the property is a CONTRACT
+        # that the column is non-null for every I/U row in the feed —
+        # a legitimately-null value on a live row is indistinguishable
+        # from a tombstone image and would inflate the delete count
+        # (lineage observability only; applied state is unaffected).
+        # Feeds that can't promise that should leave the property unset:
+        # tables without it fall back to an explicit (small) counting
+        # aggregate.
         tomb_col = table.properties().get("mor_tombstone_col")
         fallback_counts: dict[int, list[int]] | None = None
         if tomb_col is None or tomb_col not in (

@@ -49,18 +49,35 @@ def _hasher(hash_fn: str):
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-# Affine-permutation constants for the md5_48 minhash mode (documented
-# so the DuckDB oracle regenerates the identical family):
-#   m_i(h) = (A(i) * h + B(i)) mod P,  A odd and < 2^7, P = 2^61 - 1
-MINHASH_P = (1 << 61) - 1
+# Affine-permutation family for the md5_48 minhash mode (documented so
+# the DuckDB oracle regenerates the identical family):
+#
+#   m_i(h) = (A(i) * (h mod P) + B(i)) mod P,  P = 2^31 - 1 (prime)
+#
+# The base hash is reduced mod P FIRST so that A*h + B stays below 2^62
+# and the arithmetic is exact 64-bit in both Spark and DuckDB. A(i) in
+# [1, P-1] and B(i) in [0, P-1] are drawn deterministically from md5
+# digests at import time, giving a proper Carter-Wegman universal family
+# over the field Z_P — the mod genuinely wraps, so distinct slots pick
+# independent min-shingles. (An earlier variant used small A with
+# P = 2^61-1; A*h never reached P, every map was monotonic in h, and all
+# slots collapsed to the same min-shingle — caught in round-2 review.)
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_const(tag: str, i: int, lo: int) -> int:
+    import hashlib
+
+    d = int.from_bytes(hashlib.md5(f"minhash:{tag}:{i}".encode()).digest()[:8], "big")
+    return lo + d % (MINHASH_P - lo)
 
 
 def MINHASH_A(i: int) -> int:
-    return 2 * i + 3
+    return _minhash_const("A", i, 1)
 
 
 def MINHASH_B(i: int) -> int:
-    return 7919 * (i + 1)
+    return _minhash_const("B", i, 0)
 
 
 def exact_fingerprint(col: str | F.Column = "text") -> F.Column:
@@ -140,9 +157,11 @@ def minhash_signatures(
         "_id", H(F.col("_s")).alias("_h")
     )
     if hash_fn == "md5_48":
-        # affine universal-hash permutations: pure 64-bit integer ops
-        # (codegen'd, and bit-identical in DuckDB — no per-permutation
-        # md5). h < 2^48 and a < 2^7, so a*h + b < 2^56: no overflow.
+        # affine universal-hash permutations over Z_(2^31-1): pure 64-bit
+        # integer ops (codegen'd, and bit-identical in DuckDB — no
+        # per-permutation md5). The base hash is reduced mod P once, so
+        # A*(h mod P) + B < 2^62: exact in signed 64-bit on both engines.
+        ex = ex.select("_id", (F.col("_h") % F.lit(MINHASH_P)).alias("_h"))
         mins = [
             F.min(
                 (F.lit(MINHASH_A(i)) * F.col("_h") + F.lit(MINHASH_B(i)))

@@ -71,7 +71,10 @@ def create_transcripts_table(
             # dropped at compaction once the replay LSN horizon passes
             "retain_tombstones": True,
             # row-image column whose footer null-count == per-file
-            # tombstone count (the apply nulls D row images)
+            # tombstone count (the apply nulls D row images). CONTRACT:
+            # the generator/feed never emits a null role on an I/U row —
+            # feeds that can't promise that must leave this unset (the
+            # apply then counts deletes with an explicit aggregate).
             "mor_tombstone_col": "role",
         },
     )

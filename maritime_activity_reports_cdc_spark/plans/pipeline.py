@@ -18,6 +18,7 @@ batch).
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from dataclasses import dataclass, field
@@ -31,6 +32,8 @@ from maritime_activity_reports_cdc_spark.plans import bronze as bronze_plan
 from maritime_activity_reports_cdc_spark.plans import gold as gold_plan
 from maritime_activity_reports_cdc_spark.plans import silver as silver_plan
 from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
+
+_log = logging.getLogger(__name__)
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -487,11 +490,14 @@ class MedallionPipeline:
             last_epoch = self._pending_derived[-1][0]
             self._flush_derived(last_epoch)
         elif self._derived_behind:
+            # summary and daily are independent tables — a pipeline with
+            # with_gold=False but with_daily=True must still catch the
+            # daily rollup up (mirrors _flush_derived's behind path)
+            e = self.silver.last_epoch("silver_refresh")
             if self.summary is not None:
-                e = self.silver.last_epoch("silver_refresh")
                 gold_plan.refresh_summary_full(self.silver, self.summary, epoch=e)
-                if self.daily is not None:
-                    gold_plan.refresh_daily_rollup(self.silver, self.daily, None, epoch=e)
+            if self.daily is not None:
+                gold_plan.refresh_daily_rollup(self.silver, self.daily, None, epoch=e)
             self._derived_behind = False
 
     def _maybe_compact_layers(self, epoch: int) -> None:
@@ -546,14 +552,21 @@ class MedallionPipeline:
         two small Spark jobs per epoch). Observability only — a crash
         before flush loses telemetry rows, never data correctness; the
         epoch key makes re-flush after resume idempotent."""
+        from maritime_activity_reports_cdc_spark.sources.lake import EpochAlreadyApplied
+
         if self._pending_lineage:
             try:
                 self.lineage.append(
                     self.spark.createDataFrame(self._pending_lineage, LINEAGE_SCHEMA),
                     epoch=("lineage", max(r[0] for r in self._pending_lineage)),
                 )
+            except EpochAlreadyApplied:
+                pass  # resume re-flush — rows already committed
             except Exception:
-                pass
+                # observability must never fail the relay, but a dropped
+                # flush should be VISIBLE, not silent
+                _log.warning("lineage flush failed; dropping %d buffered rows",
+                             len(self._pending_lineage), exc_info=True)
             self._pending_lineage = []
         if self._pending_metrics:
             try:
@@ -561,6 +574,9 @@ class MedallionPipeline:
                     self.spark.createDataFrame(self._pending_metrics, METRICS_SCHEMA),
                     epoch=("metrics", max(r[0] for r in self._pending_metrics)),
                 )
+            except EpochAlreadyApplied:
+                pass  # resume re-flush — rows already committed
             except Exception:
-                pass
+                _log.warning("metrics flush failed; dropping %d buffered rows",
+                             len(self._pending_metrics), exc_info=True)
             self._pending_metrics = []

@@ -664,8 +664,9 @@ def _minhash_sql(n_hashes: int = 64, bands: int = 16, min_est: float = 0.2) -> s
         MINHASH_P,
     )
 
-    # affine permutations over the 48-bit base hash — same constants the
-    # Spark operator uses (dedup.MINHASH_A/B/P), pure BIGINT arithmetic
+    # affine Carter-Wegman permutations over Z_(2^31-1) of the mod-P-reduced
+    # base hash — same constants the Spark operator uses
+    # (dedup.MINHASH_A/B/P), pure BIGINT arithmetic, exact in 64-bit
     mins = ",\n         ".join(
         f"min(({MINHASH_A(i)} * h + {MINHASH_B(i)}) % {MINHASH_P}) AS m{i}"
         for i in range(n_hashes)
@@ -692,7 +693,7 @@ WITH words AS (
            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
   FROM words WHERE len(w) >= 3
 ), hs AS (
-  SELECT doc_id, {h48('s')} AS h FROM sh
+  SELECT doc_id, ({h48('s')}) % {MINHASH_P} AS h FROM sh
 ), mins AS (
   SELECT doc_id, {mins}
   FROM hs GROUP BY doc_id

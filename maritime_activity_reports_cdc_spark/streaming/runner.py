@@ -70,6 +70,37 @@ class CheckpointedReplayer:
             json.dump(state, fh)
         os.replace(tmp, self._ckpt_path())
 
+    # -- prechunk store ---------------------------------------------------
+    @staticmethod
+    def _materialize_chunks(
+        changes: DataFrame, chunk_dir: str, lo: int, step: int, mode: str
+    ) -> None:
+        (
+            changes.withColumn(
+                "_chunk", ((F.col("lsn") - F.lit(lo)) / F.lit(step)).cast("int")
+            )
+            .repartition(F.col("_chunk"))
+            .write.partitionBy("_chunk")
+            .mode(mode)
+            .parquet(chunk_dir)
+        )
+
+    @staticmethod
+    def _read_chunk_meta(chunk_dir: str) -> int | None:
+        path = os.path.join(chunk_dir, "_META.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return int(json.load(fh)["materialized_hi"])
+
+    @staticmethod
+    def _write_chunk_meta(chunk_dir: str, materialized_hi: int) -> None:
+        path = os.path.join(chunk_dir, "_META.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"materialized_hi": materialized_hi}, fh)
+        os.replace(tmp, path)
+
     # -- replay ----------------------------------------------------------
     def run(
         self,
@@ -120,17 +151,22 @@ class CheckpointedReplayer:
             # fat scans — measured net-negative at N<=4 locally.
             prechunk = (span + step - 1) // step > 6
         chunk_dir = os.path.join(self.checkpoint_dir, "chunks")
-        if prechunk and not os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
-            spark = changes.sparkSession
-            (
-                changes.withColumn(
-                    "_chunk", ((F.col("lsn") - F.lit(lo)) / F.lit(step)).cast("int")
-                )
-                .repartition(F.col("_chunk"))
-                .write.partitionBy("_chunk")
-                .mode("overwrite")
-                .parquet(chunk_dir)
-            )
+        if prechunk:
+            # The chunk store records the max LSN it was materialized for
+            # (_META.json, atomic rename): on resume, a log that GREW past
+            # that point gets its tail materialized into the same
+            # partitioned store before replay. Without this, chunk indices
+            # beyond the original span have no directory and would be
+            # mistaken for empty epochs — advancing the checkpoint past
+            # real rows (round-2 review finding).
+            mat_hi = self._read_chunk_meta(chunk_dir)
+            if not os.path.exists(os.path.join(chunk_dir, "_SUCCESS")) or mat_hi is None:
+                self._materialize_chunks(changes, chunk_dir, lo, step, mode="overwrite")
+                self._write_chunk_meta(chunk_dir, int(hi))
+            elif mat_hi < int(hi):
+                tail = changes.where(F.col("lsn") > mat_hi)
+                self._materialize_chunks(tail, chunk_dir, lo, step, mode="append")
+                self._write_chunk_meta(chunk_dir, int(hi))
         metrics: list[EpochMetrics] = []
         run_count = skip_count = events = 0
         i = -1

@@ -40,6 +40,49 @@ def _cli(engine_zip, *args: str) -> dict:
     return json.loads(line)
 
 
+def test_cmd_rewrite_turn_mode_resolves_by_generation(spark, tmp_path):
+    """`rewrite` on a turn-mode silver table must resolve deltas by _gen:
+    a re-enriched successor row carries the SAME (lsn, op_ordinal)
+    envelope as the stale image, so resolving by lsn tie-breaks
+    arbitrarily and can keep the stale enrichment (round-2 review)."""
+    import argparse
+    import datetime as dt
+
+    from maritime_activity_reports_cdc_spark import cli
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.sources.generator import CHANGE_SCHEMA
+
+    T0 = dt.datetime(2025, 3, 1, 12, 0, 0)
+    root = str(tmp_path / "lake")
+    p = MedallionPipeline.create(spark, root, n_buckets=2, layer_mode="turn",
+                                 compact_every=10_000)
+    rows0 = [
+        ("I", 1, 0, T0, "cA", 0, "system", "sys", None, T0),
+        ("I", 2, 0, T0, "cA", 1, "user", "hello", None, T0 + dt.timedelta(seconds=60)),
+    ]
+    p.apply_epoch(spark.createDataFrame(rows0, CHANGE_SCHEMA), epoch=0)
+    # move turn 0's ts: turn 1 gets RE-ENRICHED (gap_secs changes) with an
+    # unchanged (lsn, op_ordinal) envelope — only _gen distinguishes images
+    upd = [("U", 3, 0, T0, "cA", 0, "system", "sys", None,
+            T0 + dt.timedelta(seconds=30))]
+    p.apply_epoch(spark.createDataFrame(upd, CHANGE_SCHEMA), epoch=1)
+    want = {(r.conv_id, r.turn_idx): r.gap_secs for r in p.read_silver().collect()}
+    assert want[("cA", 1)] == 30.0
+
+    args = argparse.Namespace(
+        cmd="rewrite", master="local[4]", shuffle_partitions=8, root=root,
+        table="silver", target_file_rows=None, drop_tombstones_below_lsn=None,
+    )
+    out = cli.cmd_rewrite(args)
+    assert out["mode"] == "turn" and out["partitions_rewritten"] >= 1
+
+    p2 = MedallionPipeline.load(spark, root)
+    # no outstanding deltas: the BASE files must hold the fresh enrichment
+    got = {(r.conv_id, r.turn_idx): r.gap_secs
+           for r in p2.silver.read(deltas="exclude").collect()}
+    assert got[("cA", 1)] == 30.0
+
+
 def test_cli_setup_replay_status_compact_expire(spark, tmp_path, engine_zip):
     from maritime_activity_reports_cdc_spark.sources.generator import (
         generate_transcript_changes,

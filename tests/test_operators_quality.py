@@ -56,6 +56,41 @@ def test_minhash_lsh_recovers_ngram_pairs(docs):
         assert abs(cands[pair] - true_j) < 0.25
 
 
+def test_minhash_md5_48_recovers_ngram_pairs(docs):
+    """Same recovery property for the DuckDB-verifiable md5_48 affine
+    family (the oracle-checked path). Guards against degenerate
+    permutations: with monotonic affine maps every signature slot picks
+    the same min-shingle and jaccard_est collapses to {0, 1}."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in DD.minhash_lsh_candidates(
+            docs, min_jaccard_est=0.3, hash_fn="md5_48"
+        ).collect()
+    }
+    for pair, true_j in exact.items():
+        assert pair in cands, f"missed true near-dup {pair}"
+        assert abs(cands[pair] - true_j) < 0.25
+    # the (0, 2) near-dup pair (one word changed, true jaccard ~0.77) must
+    # get an INTERMEDIATE estimate — a degenerate family gives only 0 or 1
+    assert 0.0 < cands[(0, 2)] < 1.0
+
+
+def test_minhash_md5_48_slots_decorrelated(spark, docs):
+    """Signature slots must pick different min-shingles for a multi-
+    shingle document — the direct symptom of the round-2 degeneracy."""
+    sig = DD.minhash_signatures(docs, hash_fn="md5_48").collect()
+    by_id = {r.doc_id: r.sig for r in sig}
+    # doc 0 has ~11 distinct shingles; 64 independent permutations must
+    # surface several distinct minima (degenerate family -> exactly 1)
+    assert len(set(by_id[0])) > 4
+    # and every slot value lies in [0, P)
+    assert all(0 <= v < DD.MINHASH_P for v in by_id[0])
+
+
 def test_simhash_close_for_near_dups(docs):
     sims = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
     def hamming(a, b):

@@ -152,6 +152,70 @@ def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
     changes.unpersist()
 
 
+def test_observability_flush_failure_warns_not_silent(
+    spark, tmp_path, tiny_batch, caplog, monkeypatch
+):
+    """A failing metrics/lineage append must surface a warning (dropped
+    telemetry should be visible), and must not fail the relay."""
+    import logging
+
+    p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
+    p.apply_epoch(tiny_batch, epoch=0)
+    assert p._pending_metrics and p._pending_lineage
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated commit IO failure")
+
+    monkeypatch.setattr(p.metrics, "append", boom)
+    monkeypatch.setattr(p.lineage, "append", boom)
+    with caplog.at_level(logging.WARNING):
+        p.flush_observability()          # must not raise
+    msgs = " ".join(r.message for r in caplog.records)
+    assert "metrics flush failed" in msgs and "lineage flush failed" in msgs
+    assert not p._pending_metrics and not p._pending_lineage
+
+
+def test_prechunk_resume_with_grown_log(spark, tmp_path):
+    """Resuming a prechunked replay after the change log GREW must apply
+    the new tail, not mistake the un-materialized chunks for empty epochs
+    (round-2 review: checkpoint advanced past real rows)."""
+    import pandas as pd
+
+    base = [
+        _row("I", lsn, f"c{lsn % 5}", lsn // 5, "user", f"text v{lsn}")
+        for lsn in range(1, 41)
+    ]
+    grown_tail = [
+        _row("U", lsn, f"c{lsn % 5}", (lsn - 41) // 5, "user", f"UPDATED v{lsn}")
+        for lsn in range(41, 61)
+    ]
+    log1 = spark.createDataFrame(base, CHANGE_SCHEMA)
+    log2 = spark.createDataFrame(base + grown_tail, CHANGE_SCHEMA)
+
+    # crash mid-replay of the ORIGINAL log with the chunk store materialized
+    p = MedallionPipeline.create(spark, str(tmp_path / "grow"), n_buckets=4)
+    rep = CheckpointedReplayer(p, str(tmp_path / "ckg"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rep.run(log1, n_chunks=8, fail_after_epoch=1, prechunk=True)
+
+    # resume with the grown log: the persisted step extends the chunk
+    # sequence, and the tail past the materialized high-water mark must
+    # be re-materialized and applied
+    p2 = MedallionPipeline.load(spark, str(tmp_path / "grow"))
+    CheckpointedReplayer(p2, str(tmp_path / "ckg")).run(log2, prechunk=True)
+
+    # straight-through reference on the grown log
+    p_ref = MedallionPipeline.create(spark, str(tmp_path / "growref"), n_buckets=4)
+    CheckpointedReplayer(p_ref, str(tmp_path / "ckgref")).run(log2, n_chunks=1)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = p_ref.bronze.read().orderBy("conv_id", "turn_idx").select(*cols).toPandas()
+    b = p2.bronze.read().orderBy("conv_id", "turn_idx").select(*cols).toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the grown rows specifically must have landed
+    assert b[b.text.str.startswith("UPDATED")].shape[0] == 20
+
+
 def test_derived_cadence_matches_per_epoch_refresh(spark, tmp_path):
     """derived_every>1 (the reference's own gold-trigger ratio) must
     produce the identical FINAL gold state after finalize(), including
