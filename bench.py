@@ -110,6 +110,77 @@ def main() -> None:
             secs = time.monotonic() - t0
             timings[f"cdc_replay_{label}"] = round(secs, 3)
             eps[label] = round(n_events / secs, 1)
+
+        # ---- sparse family: the production CDC regime -----------------
+        # Big maintained table + recency-skewed update epochs touching
+        # ~2% of conversations each. layer_mode='auto' routes these to
+        # the turn-level O(batch) path; micro/bulk measures how well the
+        # per-epoch cost amortizes, and the cow variant shows what
+        # whole-bucket rewrites would cost on the same feed.
+        from maritime_activity_reports_cdc_spark.operators.apply import rewrite_files
+        from maritime_activity_reports_cdc_spark.sources.generator import (
+            generate_sparse_update_epochs,
+        )
+
+        sp_convs = int(os.environ.get("BENCH_SPARSE_CONVS", "30000"))
+        sp_turns = int(os.environ.get("BENCH_SPARSE_TURNS", "25"))
+        sp_epochs = int(os.environ.get("BENCH_SPARSE_EPOCHS", "8"))
+        load = generate_transcript_changes(
+            spark, n_conversations=sp_convs, turns_per_conv=sp_turns,
+            update_ratio=0.0, delete_ratio=0.0, seed=7,
+        )
+        load_path = os.path.join(work, "sparse_load")
+        load.write.parquet(load_path)
+        load = spark.read.parquet(load_path)
+        updates = generate_sparse_update_epochs(
+            spark, n_conversations=sp_convs, turns_per_conv=sp_turns,
+            n_epochs=sp_epochs, convs_per_epoch=sp_convs // 50,
+            updates_per_conv=8, delete_frac=0.05, window_frac=0.1, seed=7,
+        )
+        upd_path = os.path.join(work, "sparse_updates")
+        updates.write.parquet(upd_path)
+        updates = spark.read.parquet(upd_path)
+        n_sparse = updates.count()
+
+        def _mk_lake(label: str, mode: str) -> str:
+            root = os.path.join(work, f"sparse_{label}")
+            pipe = MedallionPipeline.create(
+                spark, root, n_buckets=cpus, bronze_mode="mor",
+                compact_every=4, derived_every=2, layer_mode=mode,
+            )
+            CheckpointedReplayer(pipe, os.path.join(work, f"ck_load_{label}")).run(
+                load, n_chunks=1
+            )
+            # maintenance done: sorted bounded files -> tight per-file
+            # conv_id stats, so the sparse windows prune the scans
+            rows_per_file = max((sp_convs * sp_turns) // (cpus * 8), 1)
+            rewrite_files(pipe.bronze, sort_by=("conv_id", "turn_idx"),
+                          target_file_rows=rows_per_file)
+            rewrite_files(pipe.silver, sort_by=("conv_id", "turn_idx"),
+                          order=("_gen",), target_file_rows=rows_per_file)
+            return root
+
+        t0 = time.monotonic()
+        auto_root = _mk_lake("auto_a", "auto")
+        timings["cdc_sparse_load"] = round(time.monotonic() - t0, 3)
+        auto_b = os.path.join(work, "sparse_auto_b")
+        shutil.copytree(auto_root, auto_b)
+        cow_root = _mk_lake("cow", "cow")
+
+        sparse_eps = {}
+        for label, root, n_chunks in [
+            ("auto_micro", auto_root, sp_epochs),
+            ("auto_bulk1", auto_b, 1),
+            ("cow_micro", cow_root, sp_epochs),
+        ]:
+            pipe = MedallionPipeline.load(spark, root)
+            pipe.derived_every = 2
+            replayer = CheckpointedReplayer(pipe, os.path.join(work, f"ck_sp_{label}"))
+            t0 = time.monotonic()
+            replayer.run(updates, n_chunks=n_chunks, start_epoch=1)
+            secs = time.monotonic() - t0
+            timings[f"cdc_sparse_{label}"] = round(secs, 3)
+            sparse_eps[label] = round(n_sparse / secs, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -126,6 +197,13 @@ def main() -> None:
                 "cdc_events": n_events,
                 "cdc_events_per_sec": eps.get("bulk1"),
                 "cdc_events_per_sec_microbatch": eps.get("microbatch4"),
+                "sparse_events": n_sparse,
+                "sparse_micro_over_bulk": round(
+                    timings["cdc_sparse_auto_micro"] / timings["cdc_sparse_auto_bulk1"], 3
+                ),
+                "sparse_cow_over_auto": round(
+                    timings["cdc_sparse_cow_micro"] / timings["cdc_sparse_auto_micro"], 3
+                ),
                 "cores": cpus,
             }
         )

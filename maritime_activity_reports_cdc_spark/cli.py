@@ -96,7 +96,8 @@ def cmd_status(args) -> dict:
     p = MedallionPipeline.load(spark, args.root)
     out: dict = {"root": p.root, "n_buckets": p.n_buckets,
                  "bronze_mode": p.bronze_mode, "layer_mode": p.layer_mode, "tables": {}}
-    for name in ("bronze", "silver", "summary", "daily", "conv_master", "lineage", "metrics"):
+    for name in ("bronze", "silver", "summary", "daily", "conv_dates",
+                 "conv_master", "lineage", "metrics"):
         table = getattr(p, name, None)
         if table is None:
             continue
@@ -137,7 +138,8 @@ def cmd_expire(args) -> dict:
     spark = _spark(args)
     p = MedallionPipeline.load(spark, args.root)
     out = {}
-    for name in ("bronze", "silver", "summary", "daily", "conv_master", "lineage", "metrics"):
+    for name in ("bronze", "silver", "summary", "daily", "conv_dates",
+                 "conv_master", "lineage", "metrics"):
         table = getattr(p, name, None)
         if table is not None:
             out[name] = table.expire_snapshots(keep_last=args.keep_last)
@@ -163,7 +165,7 @@ def cmd_rewrite(args) -> dict:
 
         folded = mor_op.compact_generations(table, ["conv_id"])
         return {"table": args.table, "mode": "mor", "folded": folded}
-    if mode == "turn":
+    if mode in ("turn", "auto"):
         order = ("_gen",)
         # turn-mode tombstone retention is governed by _gen: refresh
         # generations are monotonic, so everything below the current
@@ -195,7 +197,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--root", required=True)
     sp.add_argument("--n-buckets", type=int, default=32)
     sp.add_argument("--bronze-mode", choices=["cow", "mor"], default="mor")
-    sp.add_argument("--layer-mode", choices=["cow", "mor"], default="cow")
+    sp.add_argument("--layer-mode", choices=["cow", "mor", "turn", "auto"], default="cow")
 
     rp = sub.add_parser("replay", help="bounded checkpointed replay of a change log")
     rp.add_argument("--root", required=True)

@@ -263,9 +263,15 @@ def rewrite_files(
 
     One shuffle + one partition replace; returns the number of rewritten
     partitions. Run it as maintenance cadence, not per epoch."""
-    values = (
-        partition_values if partition_values is not None else table.partition_values()
-    )
+    if partition_values is not None:
+        values = partition_values
+    else:
+        # include delta-ONLY partitions (a fresh MoR table can hold every
+        # row in deltas with no base files yet — rewriting it must not
+        # no-op)
+        values = sorted(
+            set(table.partition_values()) | set(table.delta_partition_values())
+        )
     if not values:
         return 0
     has_deltas = any(
@@ -285,13 +291,14 @@ def rewrite_files(
         df = df.where(~is_old_tomb)
     part_col = table.snapshot().partition_by
     if part_col is not None:
-        df = df.repartition(F.col(part_col)).sortWithinPartitions(*sort_by)
-    else:
-        df = df.sortWithinPartitions(*sort_by)
+        df = df.repartition(F.col(part_col))
     # ``target_file_rows`` splits each sorted partition into bounded
     # files whose per-file [min, max] stats cover DISJOINT sort-key
     # ranges — this is what keeps bounds-pruning effective as buckets
-    # grow (at 100 TB: files sized ~512 MB, conv_id ranges tight).
+    # grow (at 100 TB: files sized ~512 MB, conv_id ranges tight). The
+    # clustering itself is applied by the lake writer (sort_within): a
+    # sortWithinPartitions BEFORE the partitioned write would be undone
+    # by the writer's own partition-column sort.
     write_options = (
         {"maxRecordsPerFile": str(int(target_file_rows))} if target_file_rows else None
     )
@@ -301,6 +308,16 @@ def rewrite_files(
         partition_values=values,
         pre_partitioned=True,
         write_options=write_options,
+        sort_within=sort_by,
+        # declare the layout as the table's write-order: every later base
+        # rewrite (cow refresh, compaction) re-applies it, so pruning
+        # keeps working instead of dying at the next compaction cycle
+        properties_update={
+            "clustering": {
+                "sort_by": list(sort_by),
+                "target_file_rows": target_file_rows,
+            }
+        },
     )
     return len(values)
 

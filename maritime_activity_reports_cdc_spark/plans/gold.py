@@ -63,6 +63,13 @@ SUMMARY_SCHEMA = T.StructType(
 DAILY_SCHEMA = T.StructType(
     [
         T.StructField("business_date", T.DateType(), False),
+        # partition key: month granularity. One row per DATE is the grain,
+        # but a date-partitioned rollup writes O(affected dates) one-row
+        # files per refresh (hundreds of tiny partitions + manifest refs
+        # + footer stats per flush — measured to dominate gold time on
+        # spread-out corpora). Month partitions bound a flush to a
+        # handful of files; business_date file stats prune within them.
+        T.StructField("business_month", T.StringType(), True),
         T.StructField("n_active_conversations", T.LongType(), True),
         T.StructField("n_turns", T.LongType(), True),
         T.StructField("n_tool_calls", T.LongType(), True),
@@ -71,6 +78,33 @@ DAILY_SCHEMA = T.StructType(
     ]
     + mor.GEN_FIELDS
 )
+
+
+# Per-(conversation, date) activity index — the decomposed form of the
+# daily rollup. Every daily measure is a sum over these rows (the one
+# non-decomposable daily agg, countDistinct(conv_id), becomes a row
+# count because the index has exactly one row per conv×date), so the
+# daily refresh never has to scan silver: date discovery reads this tiny
+# table and the recompute aggregates exactly the affected DATE
+# partitions. This is what makes daily pruning exact at scale — silver
+# is hash-bucketed by conv_id, so neither conv bounds (random ids span
+# everything) nor ts file bounds (CoW bucket rewrites give every fresh
+# file the full date range) ever prune a silver scan by date.
+CONV_DATES_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("business_date", T.DateType(), False),
+        # month partition key (see DAILY_SCHEMA's business_month note)
+        T.StructField("business_month", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("n_tool_calls", T.LongType(), True),
+        T.StructField("total_tokens", T.LongType(), True),
+        T.StructField("sum_quality", T.DoubleType(), True),
+        T.StructField("n_quality", T.LongType(), True),
+    ]
+)
+
+CONV_DATES_INPUT_COLS = ["conv_id", "ts", "role", "n_tokens", "quality_score"]
 
 
 def create_summary_table(
@@ -89,11 +123,226 @@ def create_summary_table(
 def create_daily_table(
     spark: SparkSession, path: str, layer_mode: str = "cow"
 ) -> LakeTable:
-    # Partitioned by day — the reference's gold partition scheme
-    # (``gold/table_setup.py:94``); rollup refresh replaces whole days
-    # (CoW) or appends generation-tagged day rows resolved on read (MoR).
-    return LakeTable.create(spark, path, DAILY_SCHEMA, partition_by="business_date",
-                            properties={"layer_mode": layer_mode})
+    # Time-partitioned like the reference's gold scheme
+    # (``gold/table_setup.py:94``) but at MONTH granularity — a rollup
+    # has one row per day, so day partitions mean one-row files and a
+    # flush that touches hundreds of them (see DAILY_SCHEMA). Refresh
+    # replaces whole months (CoW) or appends generation-tagged rows
+    # resolved on read (MoR).
+    return LakeTable.create(spark, path, DAILY_SCHEMA, partition_by="business_month",
+                            properties={"layer_mode": layer_mode,
+                                        "stats_cols": ["business_date"]})
+
+
+def _month(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM")
+
+
+def create_conv_dates_table(spark: SparkSession, path: str) -> LakeTable:
+    """The conv×date activity index behind the daily rollup (see
+    CONV_DATES_SCHEMA). Month-partitioned so a refresh touches a handful
+    of partitions; business_date + conv_id file stats prune within."""
+    return LakeTable.create(
+        spark, path, CONV_DATES_SCHEMA, partition_by="business_month",
+        properties={"stats_cols": ["conv_id", "business_date"]},
+    )
+
+
+def conv_date_activity(silver_rows: DataFrame) -> DataFrame:
+    """Decomposable per-(conv, date) sums feeding the daily rollup."""
+    return (
+        silver_rows.where(F.col("ts").isNotNull())
+        .withColumn("business_date", F.to_date("ts"))
+        .groupBy("conv_id", "business_date")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.count(F.when(F.col("role") == "tool", 1)).alias("n_tool_calls"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("quality_score").alias("sum_quality"),
+            F.count("quality_score").alias("n_quality"),
+        )
+        .withColumn("business_month", _month("business_date"))
+    )
+
+
+def _daily_from_index(index_rows: DataFrame) -> DataFrame:
+    """Fold index rows into DAILY_SCHEMA measures. n_active is a plain
+    row count (one index row per conv×date); avg_quality recomposes from
+    (sum, count) so nulls weigh exactly as F.avg would."""
+    return index_rows.groupBy("business_date", "business_month").agg(
+        F.count("*").alias("n_active_conversations"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.sum("n_tool_calls").cast("long").alias("n_tool_calls"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("sum_quality")
+            / F.when(F.sum("n_quality") > 0, F.sum("n_quality")),
+            4,
+        ).alias("avg_quality"),
+    )
+
+
+def _restrict_to_affected(
+    df: DataFrame, affected, n_buckets: int, negate: bool = False
+) -> DataFrame:
+    """Affected-conversation membership against the DATE-partitioned
+    index. Dense mode must NOT fall back to AffectedSet's no-op semi /
+    None anti — those assume the frame is already restricted to the
+    affected BUCKETS, which date partitions are not; instead dense
+    filters on the bucket expression (pure column math, no broadcast
+    build — the whole point of the dense path)."""
+    if affected.dense:
+        member = bucket_expr("conv_id", n_buckets).isin(affected.buckets)
+        return df.where(~member if negate else member)
+    how = "left_anti" if negate else "left_semi"
+    return df.join(F.broadcast(affected.keys.select("conv_id")), "conv_id", how)
+
+
+def refresh_daily_via_index(
+    silver_table: LakeTable,
+    index_table: LakeTable,
+    daily_table: LakeTable,
+    affected,
+    batch_dates: DataFrame | None,
+    epoch: int,
+    enriched: DataFrame | None = None,
+    source: str = "gold_daily",
+    index_source: str = "gold_conv_dates",
+) -> bool:
+    """Incremental daily refresh through the conv×date index:
+
+    1. fresh index rows for the affected conversations (from the shared
+       ``enriched`` frame when available, else a key-pruned silver slice
+       — the same input the summary refresh reads);
+    2. affected dates = batch ts dates ∪ the affected convs' CURRENT
+       index dates (covers deletes and ts-moving updates — the vacated
+       side) — discovered from the index, never from a silver scan;
+    3. replace exactly those index date-partitions (survivors = other
+       convs' rows, kept via anti-join / dense bucket filter);
+    4. rebuild the daily rows for those dates from the index partitions.
+
+    Index and daily commits are epoch-guarded independently: a crash
+    between them resumes via the pipeline's behind-detection full
+    rebuild, and a re-flush after both is a clean no-op."""
+    from maritime_activity_reports_cdc_spark.plans.silver import read_silver
+
+    if daily_table.last_epoch(source) >= epoch:
+        return False
+    n_buckets = int(silver_table.properties()["n_buckets"])
+
+    if not affected.buckets:
+        index_table.commit_epoch_noop(index_source, epoch, {"rows": 0})
+        daily_table.commit_epoch_noop(source, epoch, {"rows": 0})
+        return True
+
+    # Does the batch's dense coverage span EVERY bucket? Then no index
+    # row can survive by exclusion and the vacated-month set is exactly
+    # the index's current partition list — both answered driver-side
+    # from the snapshot, zero jobs.
+    covers_all = affected.dense and len(affected.buckets) >= n_buckets
+    if covers_all:
+        months_set = set(index_table.snapshot().files)
+    else:
+        vacated = _restrict_to_affected(
+            index_table.read().select("conv_id", "business_month"), affected, n_buckets
+        ).select("business_month")
+        months_set = {r[0] for r in vacated.distinct().collect()}
+    if batch_dates is not None:
+        months_set.update(
+            r[0] for r in batch_dates.select(_month("business_date")).distinct().collect()
+        )
+    months = sorted(months_set)
+
+    if not months:
+        if index_table.last_epoch(index_source) < epoch:
+            index_table.commit_epoch_noop(index_source, epoch, {"rows": 0})
+        daily_table.commit_epoch_noop(source, epoch, {"rows": 0})
+        return True
+
+    cols = [f.name for f in CONV_DATES_SCHEMA.fields]
+    merged = None
+    if index_table.last_epoch(index_source) < epoch:
+        if enriched is None:
+            silver_slice = read_silver(
+                silver_table, affected.buckets,
+                bounds=None if affected.dense else affected.prune(),
+                columns=CONV_DATES_INPUT_COLS,
+            )
+            enriched = affected.semi(silver_slice)
+        fresh = conv_date_activity(enriched).select(*cols)
+        if covers_all:
+            merged = fresh
+        else:
+            survivors = _restrict_to_affected(
+                index_table.read_partitions(months), affected, n_buckets, negate=True
+            )
+            merged = survivors.select(*cols).unionByName(fresh)
+        # small frame (one row per affected conv×date): persist so the
+        # daily rollup folds the SAME rows without re-reading the
+        # just-committed partitions (or recomputing the silver agg)
+        merged = merged.persist()
+        index_table.replace_partitions(
+            merged, summary={"source": index_source},
+            epoch=(index_source, epoch), partition_values=months,
+        )
+    try:
+        # Recompute EVERY date of the affected months from the index
+        # (unaffected dates re-derive identical rows); the month
+        # partitions bound the scan and the write to a few files.
+        index_rows = (
+            merged if merged is not None else index_table.read_partitions(months)
+        )
+        rollup = mor.stamp_generation(_daily_from_index(index_rows), epoch, rank=1)
+        daily_table.replace_partitions(
+            rollup, summary={"source": source}, epoch=(source, epoch),
+            partition_values=months,
+        )
+    finally:
+        if merged is not None:
+            merged.unpersist()
+    return True
+
+
+def refresh_daily_full_from_index(
+    index_table: LakeTable,
+    daily_table: LakeTable,
+    epoch: int,
+    source: str = "gold_daily",
+) -> bool:
+    """Full daily rebuild from a freshly rebuilt index (catch-up path —
+    pairs with rebuild_conv_dates_full so silver is scanned once)."""
+    if daily_table.last_epoch(source) >= epoch:
+        return False
+    rollup = mor.stamp_generation(_daily_from_index(index_table.read()), epoch, rank=1)
+    daily_table.overwrite(
+        rollup, summary={"source": source, "operation_kind": "full"},
+        epoch=(source, epoch),
+    )
+    return True
+
+
+def rebuild_conv_dates_full(
+    silver_table: LakeTable,
+    index_table: LakeTable,
+    epoch: int,
+    index_source: str = "gold_conv_dates",
+) -> bool:
+    """Full index rebuild from silver state — the crash catch-up path
+    (same role as refresh_summary_full / daily full rebuild)."""
+    from maritime_activity_reports_cdc_spark.plans.silver import read_silver
+
+    if index_table.last_epoch(index_source) >= epoch:
+        return False
+    fresh = conv_date_activity(
+        read_silver(silver_table, columns=CONV_DATES_INPUT_COLS)
+    )
+    cols = [f.name for f in CONV_DATES_SCHEMA.fields]
+    index_table.overwrite(
+        fresh.select(*cols),
+        summary={"source": index_source, "operation_kind": "full"},
+        epoch=(index_source, epoch),
+    )
+    return True
 
 
 def read_summary(summary_table: LakeTable, buckets=None) -> DataFrame:
@@ -249,8 +498,13 @@ def refresh_daily_rollup(
         if not dates:
             daily_table.commit_epoch_noop(source, epoch, {"rows": 0})
             return True
-        lo = min(dates).isoformat()
-        hi = (max(dates) + dt.timedelta(days=1)).isoformat()
+        # the table is MONTH-partitioned: the recompute must cover every
+        # date of the affected months (a partial month replace would drop
+        # the untouched days' rows)
+        months = sorted({d.strftime("%Y-%m") for d in dates})
+        lo = min(dates).replace(day=1).isoformat()
+        hi_month = max(dates).replace(day=1) + dt.timedelta(days=32)
+        hi = hi_month.replace(day=1).isoformat()
         # ts bounds prune silver BASE files only (delta generations must
         # be read whole — see mor.read_resolved); safe because base rows
         # of one conversation are single-generation after compaction.
@@ -259,10 +513,10 @@ def refresh_daily_rollup(
             columns=["conv_id", "ts", "role", "n_tokens", "quality_score"],
         )
         rows = silver_rows.withColumn("business_date", F.to_date("ts")).where(
-            F.col("business_date").isin(dates)
+            _month(F.col("business_date")).isin(months)
         )
     else:
-        dates = None
+        dates = months = None
         rows = read_silver(
             silver_table,
             columns=["conv_id", "ts", "role", "n_tokens", "quality_score"],
@@ -273,12 +527,12 @@ def refresh_daily_rollup(
         F.count(F.when(F.col("role") == "tool", 1)).alias("n_tool_calls"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
-    )
+    ).withColumn("business_month", _month("business_date"))
     if daily_table.properties().get("layer_mode") == "mor" and dates is not None:
         spark = silver_rows.sparkSession
         marker_keys = spark.createDataFrame(
             [(d,) for d in dates], T.StructType([T.StructField("business_date", T.DateType(), False)])
-        )
+        ).withColumn("business_month", _month("business_date"))
         mor.append_generation(daily_table, rollup, marker_keys, epoch, source)
         return True
     rollup = mor.stamp_generation(rollup, epoch, rank=1)
@@ -287,7 +541,7 @@ def refresh_daily_rollup(
     else:
         daily_table.replace_partitions(
             rollup, summary={"source": source}, epoch=(source, epoch),
-            partition_values=dates,
+            partition_values=months,
         )
     return True
 

@@ -136,6 +136,10 @@ class MedallionPipeline:
     silver: LakeTable = field(init=False)
     summary: LakeTable | None = field(init=False, default=None)
     daily: LakeTable | None = field(init=False, default=None)
+    # conv×date activity index behind the daily rollup (cow/turn modes):
+    # date discovery + daily recompute read THIS tiny date-partitioned
+    # table instead of scanning silver (see gold.CONV_DATES_SCHEMA)
+    conv_dates: LakeTable | None = field(init=False, default=None)
     lineage: LakeTable = field(init=False)
     metrics: LakeTable = field(init=False)
     conv_master: LakeTable | None = field(init=False, default=None)
@@ -183,6 +187,10 @@ class MedallionPipeline:
             p.daily = gold_plan.create_daily_table(
                 spark, p._p("gold_daily_rollup"), layer_mode=layer_mode
             )
+            if layer_mode != "mor":
+                p.conv_dates = gold_plan.create_conv_dates_table(
+                    spark, p._p("gold_conv_dates")
+                )
         # SCD2 conversation-master dimension (reference vessel_metadata /
         # vessel_master flow, M1/M3) — maintained from the separate
         # conv_meta change feed via apply_meta_epoch.
@@ -207,6 +215,17 @@ class MedallionPipeline:
         )
         p.with_daily = LakeTable.exists(p._p("gold_daily_rollup"))
         p.daily = LakeTable.load(spark, p._p("gold_daily_rollup")) if p.with_daily else None
+        if p.with_daily and p.layer_mode != "mor":
+            if LakeTable.exists(p._p("gold_conv_dates")):
+                p.conv_dates = LakeTable.load(spark, p._p("gold_conv_dates"))
+            else:
+                # lake predates the index: create it and force a full
+                # derived rebuild so it starts consistent with silver
+                p.conv_dates = gold_plan.create_conv_dates_table(
+                    spark, p._p("gold_conv_dates")
+                )
+                if p.silver.last_epoch("silver_refresh") >= 0:
+                    p._derived_behind = True
         if LakeTable.exists(p._p("silver_conv_master")):
             p.conv_master = LakeTable.load(spark, p._p("silver_conv_master"))
         p.lineage = LakeTable.load(spark, p._p("_lineage"))
@@ -303,24 +322,40 @@ class MedallionPipeline:
                 # deletes and ts-moving updates — a delete-only epoch
                 # still recomputes the dates its rows vacated) plus any
                 # date carried by the batch itself (covers inserts and
-                # ts destinations). The silver scan is constructed against
-                # the PRE-refresh snapshot — the readers resolve the file
-                # list eagerly, so running it after the refresh below
-                # still reads pre-refresh state.
+                # ts destinations).
                 dates = (
                     batch.where(F.col("ts").isNotNull())
                     .select(F.to_date("ts").alias("business_date"))
-                    .unionByName(
+                    .distinct()
+                )
+                if self.conv_dates is None:
+                    # legacy (gen-MoR daily) path: vacated dates come
+                    # from a pre-refresh silver scan of the affected
+                    # conversations. The scan is constructed against the
+                    # PRE-refresh snapshot — the readers resolve the file
+                    # list eagerly, so running it after the refresh below
+                    # still reads pre-refresh state. (With the conv×date
+                    # index, the vacated side is discovered from the
+                    # index at flush time instead — no silver scan.)
+                    dates = dates.unionByName(
                         affected.semi(
                             silver_plan.read_silver(
                                 self.silver, affected.buckets, bounds=affected.prune(),
                                 columns=["conv_id", "ts"],
                             )
                         ).select(F.to_date("ts").alias("business_date"))
-                    )
-                    .distinct()
-                )
-            if self.layer_mode == "turn":
+                    ).distinct()
+            # 'auto' picks the refresh plan per epoch from the density
+            # estimate the dense fast path already computes: a SPARSE
+            # batch (most conversations untouched) takes the turn-level
+            # O(batch) delta path; a dense one takes the whole-bucket
+            # rewrite, whose replace also folds outstanding turn deltas
+            # (fresh rows come from bronze — the ground truth — and
+            # dense means no survivors, so clearing deltas is safe).
+            use_turn = self.layer_mode == "turn" or (
+                self.layer_mode == "auto" and not affected.dense
+            )
+            if use_turn:
                 # turn-level incremental refresh: O(batch) fat work per
                 # epoch (fresh rows from the batch, ≤1 successor per key)
                 silver_plan.refresh_silver_turn(
@@ -353,6 +388,7 @@ class MedallionPipeline:
             self._maybe_compact_layers(epoch)
             if self.expire_keep_last is not None and not self._pending_derived:
                 for table in (self.bronze, self.silver, self.summary, self.daily,
+                              self.conv_dates,
                               self.conv_master, self.lineage, self.metrics):
                     if table is not None:
                         table.expire_snapshots(keep_last=self.expire_keep_last)
@@ -436,8 +472,7 @@ class MedallionPipeline:
                 # incremental path resumes.
                 if self.summary is not None:
                     gold_plan.refresh_summary_full(self.silver, self.summary, epoch=epoch)
-                if self.daily is not None:
-                    gold_plan.refresh_daily_rollup(self.silver, self.daily, None, epoch=epoch)
+                self._rebuild_daily_full(epoch)
                 self._derived_behind = False
                 return
             affected = silver_plan.union_affected([a for (_e, a, _d) in pend])
@@ -461,9 +496,34 @@ class MedallionPipeline:
                     )
 
             def _daily():
-                if self.daily is not None:
+                if self.daily is None:
+                    return
+                if self.conv_dates is not None:
+                    gold_plan.refresh_daily_via_index(
+                        self.silver, self.conv_dates, self.daily, affected,
+                        dates, epoch=epoch, enriched=enriched_for_gold,
+                    )
+                else:
                     gold_plan.refresh_daily_rollup(self.silver, self.daily, dates, epoch=epoch)
 
+            shared_slice = None
+            if (
+                enriched_for_gold is None
+                and self.summary is not None
+                and self.daily is not None
+                and self.conv_dates is not None
+                and affected.buckets
+            ):
+                # Both gold consumers need the affected conversations'
+                # post-refresh silver rows. Resolve the THIN slice once
+                # and cache it (no text columns — tiny), instead of each
+                # consumer re-running the scan + MoR resolve. This is the
+                # opposite trade from persist_enriched: that would cache
+                # FAT rows, this caches the 8 thin columns both aggs use.
+                shared_slice = silver_plan.read_silver_for_affected(
+                    self.silver, affected, columns=gold_plan.SUMMARY_INPUT_COLS
+                ).persist()
+                enriched_for_gold = shared_slice
             if self.parallel_layers and self.summary is not None and self.daily is not None:
                 # Independent consumers of committed state writing to
                 # DIFFERENT tables — two driver threads overlap their plan
@@ -476,6 +536,8 @@ class MedallionPipeline:
             else:
                 _summary()
                 _daily()
+            if shared_slice is not None:
+                shared_slice.unpersist()
             if len(pend) > 1:
                 affected.unpersist()
         finally:
@@ -496,12 +558,23 @@ class MedallionPipeline:
             e = self.silver.last_epoch("silver_refresh")
             if self.summary is not None:
                 gold_plan.refresh_summary_full(self.silver, self.summary, epoch=e)
-            if self.daily is not None:
-                gold_plan.refresh_daily_rollup(self.silver, self.daily, None, epoch=e)
+            self._rebuild_daily_full(e)
             self._derived_behind = False
 
+    def _rebuild_daily_full(self, epoch: int) -> None:
+        """Catch-up daily rebuild: one silver scan into the conv×date
+        index, daily folded from the index (legacy direct scan when the
+        index is absent — gen-MoR daily)."""
+        if self.daily is None:
+            return
+        if self.conv_dates is not None:
+            gold_plan.rebuild_conv_dates_full(self.silver, self.conv_dates, epoch=epoch)
+            gold_plan.refresh_daily_full_from_index(self.conv_dates, self.daily, epoch=epoch)
+        else:
+            gold_plan.refresh_daily_rollup(self.silver, self.daily, None, epoch=epoch)
+
     def _maybe_compact_layers(self, epoch: int) -> None:
-        if self.layer_mode == "turn":
+        if self.layer_mode in ("turn", "auto"):
             from maritime_activity_reports_cdc_spark.operators.apply import compact
 
             if self._compaction_due(self.silver, epoch):
@@ -533,7 +606,7 @@ class MedallionPipeline:
 
         if self.bronze_mode == "mor":
             compact(self.bronze)
-        if self.layer_mode == "turn":
+        if self.layer_mode in ("turn", "auto"):
             compact(
                 self.silver, keys=("conv_id", "turn_idx"), order=("_gen",),
                 drop_tombstones_below_lsn=self.silver.last_epoch("silver_refresh") + 1,

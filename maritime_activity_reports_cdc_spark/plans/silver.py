@@ -65,14 +65,18 @@ def create_silver_table(
 ) -> LakeTable:
     """``layer_mode``: 'cow' replaces affected buckets per refresh (read-
     optimized); 'mor' appends generation-tagged deltas resolved on read
-    (write-optimized — refresh I/O ∝ batch, not ∝ affected buckets)."""
+    (write-optimized — refresh I/O ∝ batch, not ∝ affected buckets);
+    'turn' appends turn-level key-MoR deltas (O(batch) fat work);
+    'auto' picks turn vs cow PER EPOCH from the batch's key density
+    (sparse feeds take the O(batch) delta path, dense ones the
+    whole-bucket rewrite — see MedallionPipeline)."""
     props = {
         "n_buckets": n_buckets,
         # ts bounds let the daily-rollup refresh prune to affected dates
         "stats_cols": ["conv_id", "ts"],
         "layer_mode": layer_mode,
     }
-    if layer_mode == "turn":
+    if layer_mode in ("turn", "auto"):
         # turn-level key-MoR: delete tombstone rows live in the deltas;
         # lake-level reads must hide them
         props["retain_tombstones"] = True
@@ -100,9 +104,11 @@ def read_silver(
     mode = silver_table.properties().get("layer_mode")
     if mode == "mor":
         return mor.read_resolved(silver_table, ["conv_id"], buckets, bounds, columns=columns)
-    if mode == "turn":
+    if mode in ("turn", "auto"):
         # key-based MoR: one winner per (conv_id, turn_idx) in refresh-
-        # epoch order; delete tombstones hidden.
+        # epoch order; delete tombstones hidden. (Reduces to a plain base
+        # scan when no deltas are outstanding — auto mode's dense epochs
+        # clear them.)
         return read_merged(
             silver_table, buckets, bounds=bounds,
             keys=("conv_id", "turn_idx"), order=("_gen",), columns=columns,
@@ -405,7 +411,10 @@ def refresh_silver_turn(
         silver_table.commit_epoch_noop(source, epoch, {"rows": 0})
         return True
     n_buckets = int(silver_table.properties()["n_buckets"])
-    winners = dedup_latest(batch)
+    # winners feeds FOUR consumers (broadcast key set, upsert images,
+    # successor anti-join, tombstones): persist the small deduped batch
+    # so each doesn't re-run the chunk scan + dedup shuffle
+    winners = dedup_latest(batch).persist()
 
     # 1. thin window pass over post-apply bronze state: predecessor
     # values for every live turn of the affected buckets
@@ -438,6 +447,9 @@ def refresh_silver_turn(
         ],
         how="left_semi",
     ).select("conv_id", "turn_idx", "_prev_ts", "_prev_idx", "_prev_role")
+    # reused by the successor anti-join AND the enrichment join: caching
+    # the O(batch)-row frame avoids re-running the thin scan + window
+    affected_turns = affected_turns.persist()
 
     # 3. fat row images: changed turns from the batch itself; successors
     # from current silver (their text is unchanged by definition)
@@ -513,8 +525,45 @@ def refresh_silver_turn(
     delta = mor.stamp_generation(
         _align(enriched).unionByName(_align(tombs)), epoch, rank=1
     ).select(*cols)
-    silver_table.append_deltas(delta, summary={"source": source}, epoch=(source, epoch))
+    try:
+        silver_table.append_deltas(delta, summary={"source": source}, epoch=(source, epoch))
+    finally:
+        winners.unpersist()
+        affected_turns.unpersist()
     return True
+
+
+def read_silver_for_affected(
+    silver_table: LakeTable, affected: AffectedSet, columns: list[str]
+) -> DataFrame:
+    """Resolved silver rows of exactly the affected conversations, with
+    the key restriction pushed BELOW the MoR resolve: base and delta
+    rows are semi-joined to the affected keys BEFORE the dedup, so the
+    resolve shuffles O(affected rows) instead of the whole pruned slice.
+    Dense mode reads the whole buckets (no key set to push)."""
+    from maritime_activity_reports_cdc_spark.operators.apply import dedup_latest
+
+    mode = silver_table.properties().get("layer_mode")
+    if affected.dense or mode not in ("turn", "auto"):
+        return affected.semi(
+            read_silver(silver_table, affected.buckets,
+                        bounds=None if affected.dense else affected.prune(),
+                        columns=columns)
+        )
+    cols = list(dict.fromkeys(["conv_id", "turn_idx", "op", "_gen", *columns]))
+    base = silver_table.read_partitions(
+        affected.buckets, bounds=affected.prune(), tombstones="include"
+    ).select(*cols)
+    delta = silver_table.read_partitions(
+        affected.buckets, deltas="only", tombstones="include"
+    ).select(*cols)
+    key_set = F.broadcast(affected.keys.select("conv_id"))
+    resolved = dedup_latest(
+        base.join(key_set, "conv_id", "left_semi")
+        .unionByName(delta.join(key_set, "conv_id", "left_semi")),
+        ("conv_id", "turn_idx"), ("_gen",),
+    )
+    return resolved.where(F.col("op").isNull() | (F.col("op") != "D"))
 
 
 def union_affected(sets: list[AffectedSet]) -> AffectedSet:
@@ -578,7 +627,20 @@ def refresh_silver_for_conversations(
     aligned = enriched.select(*[
         F.col(c) if c in enriched.columns else F.lit(None).alias(c) for c in target_cols
     ])
-    survivors = affected.anti(silver_table.read_partitions(affected.buckets))
+    # Auto-mode tables can carry outstanding turn-level deltas from
+    # earlier sparse epochs; survivors must then be RESOLVED state, not
+    # base files (the replace clears the replaced buckets' delta files).
+    # The pipeline only routes DENSE batches here (survivors -> None), so
+    # this read is a safety net for direct callers; pure-cow tables have
+    # no deltas and take the plain base scan.
+    snap = silver_table.snapshot()
+    has_deltas = any(snap.delta_files.get(str(b)) for b in affected.buckets)
+    base = (
+        read_silver(silver_table, affected.buckets)
+        if has_deltas
+        else silver_table.read_partitions(affected.buckets)
+    )
+    survivors = affected.anti(base)
     merged = aligned if survivors is None else survivors.unionByName(aligned)
     # merged is already clustered by bucket: the fresh side came through
     # the bucket-keyed window exchange, the survivor side through bucket-

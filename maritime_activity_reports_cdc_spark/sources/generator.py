@@ -244,6 +244,78 @@ def generate_transcript_changes(
     return log
 
 
+def generate_sparse_update_epochs(
+    spark: SparkSession,
+    n_conversations: int = 10_000,
+    turns_per_conv: int = 20,
+    n_epochs: int = 8,
+    convs_per_epoch: int = 500,
+    updates_per_conv: int = 4,
+    delete_frac: float = 0.05,
+    window_frac: float = 0.1,
+    seed: int = 42,
+    lsn_base: int | None = None,
+) -> DataFrame:
+    """Sparse, recency-skewed update feed — the production CDC regime.
+
+    Each epoch touches only ``convs_per_epoch`` conversations (a few % of
+    the corpus), drawn from a contiguous "recently active" id window that
+    drifts forward per epoch (``window_frac`` of the id space). Real
+    change tails look like this: most conversations are quiescent, the
+    active set clusters in recent ids — which is exactly what makes
+    conv-bound file pruning effective on a maintained (sorted-file)
+    table, and what the turn-level incremental refresh regime is for.
+
+    LSNs are a contiguous counter starting ABOVE the insert range
+    (``lsn_base``), laid out so epoch boundaries coincide with equal
+    LSN-range chunks: replaying with ``n_chunks=n_epochs`` applies
+    exactly one generated epoch per chunk.
+
+    Compose with ``generate_transcript_changes(update_ratio=0,
+    delete_ratio=0)`` (same n_conversations/turns/seed) as the initial
+    load.
+    """
+    if lsn_base is None:
+        # safely above any insert lsn = (conv*977 + turn*61)*2^20 + conv,
+        # with 4x turn headroom for jitter/hot-conv variants
+        lsn_base = (n_conversations * 977 + turns_per_conv * 4 * 61 + 1) * 1048576
+    per_epoch = convs_per_epoch * updates_per_conv
+    window = max(int(n_conversations * window_frac), convs_per_epoch)
+    rows = spark.range(0, n_epochs * per_epoch)
+    k = F.col("id")
+    epoch = (k / per_epoch).cast("long")
+    slot = _pm(k, per_epoch)
+    # active window for epoch e: ids [e*stride, e*stride + window), drifting
+    # forward so consecutive epochs overlap but the union stays bounded
+    stride = max((n_conversations - window) // max(n_epochs - 1, 1), 1)
+    t_conv = epoch * stride + _pm(_h(seed + 301, epoch, (slot / updates_per_conv).cast("long")), window)
+    t_conv = F.least(t_conv, F.lit(n_conversations - 1))
+    t_turn = _pm(_h(seed + 302, k), max(turns_per_conv, 1)).cast("int")
+    is_del = _pm(_h(seed + 303, k), 1000) < int(delete_frac * 1000)
+    role = _role_for(t_conv, t_turn, seed)
+    log = rows.select(
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        (F.lit(lsn_base) + k).alias("lsn"),
+        (k + 1).cast("int").alias("op_ordinal"),
+        _conv_id(t_conv).alias("conv_id"),
+        t_turn.alias("turn_idx"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(role).alias("role"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(
+            _text_for(t_conv, t_turn, (_pm(k, 7) + 1).cast("int"), seed)
+        ).alias("text"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(
+            _tool_for(role, t_conv, t_turn, seed)
+        ).alias("tool"),
+        F.when(is_del, F.lit(None).cast("timestamp")).otherwise(
+            _ts_for(t_conv, t_turn)
+        ).alias("ts"),
+    )
+    return log.withColumn(
+        "commit_ts",
+        F.timestamp_seconds(F.lit(_EPOCH0) + F.floor(F.col("lsn") / 1048576)),
+    ).select([f.name for f in CHANGE_SCHEMA.fields])
+
+
 def generate_conv_meta_changes(
     spark: SparkSession,
     n_conversations: int = 100,

@@ -323,6 +323,8 @@ class LakeTable:
         partition_values: Iterable[Any] | None = None,
         pre_partitioned: bool = False,
         write_options: dict[str, str] | None = None,
+        sort_within: tuple[str, ...] | None = None,
+        properties_update: dict | None = None,
     ) -> Snapshot:
         """Atomic swap of exactly the partitions present in ``df``.
 
@@ -330,6 +332,10 @@ class LakeTable:
         frame has no rows for them (e.g. a bucket whose rows were all
         deleted). Delta files of replaced partitions are cleared (this is
         the compaction commit in merge-on-read mode).
+
+        ``sort_within``: cluster each partition's rows by these columns
+        in the written files (survives the partitioned writer's own
+        ordering requirement — see _commit) so per-file stats stay tight.
         """
         return self._commit(
             df,
@@ -339,6 +345,8 @@ class LakeTable:
             extra_replaced=partition_values,
             pre_partitioned=pre_partitioned,
             write_options=write_options,
+            sort_within=sort_within,
+            properties_update=properties_update,
         )
 
     def append_deltas(
@@ -510,12 +518,29 @@ class LakeTable:
         extra_replaced: Iterable[Any] | None = None,
         pre_partitioned: bool = False,
         write_options: dict[str, str] | None = None,
+        sort_within: tuple[str, ...] | None = None,
+        properties_update: dict | None = None,
     ) -> Snapshot:
         parent = self.snapshot()
         if epoch is not None:
             self._check_epoch(parent, epoch[0], epoch[1])
         schema = parent.schema()
         df = _align_to_schema(df, schema)
+        properties = {**parent.properties, **(properties_update or {})}
+
+        # Table write-order (Iceberg's sort-order analog): once declared
+        # (by rewrite_files or at create), EVERY base rewrite — cow
+        # refresh, compaction, maintenance — re-applies the clustering,
+        # so the tight per-file stats that make bounds pruning work are
+        # not destroyed by the next compaction cycle. Delta appends stay
+        # raw (small, short-lived). Explicit caller args win.
+        clustering = properties.get("clustering")
+        if clustering and mode in ("replace", "overwrite"):
+            if sort_within is None and clustering.get("sort_by"):
+                sort_within = tuple(clustering["sort_by"])
+            tfr = clustering.get("target_file_rows")
+            if tfr and "maxRecordsPerFile" not in (write_options or {}):
+                write_options = {**(write_options or {}), "maxRecordsPerFile": str(int(tfr))}
 
         commit_id = uuid.uuid4().hex[:12]
         commit_rel = os.path.join(_DATA_DIR, f"c{parent.version + 1:08d}-{commit_id}")
@@ -536,12 +561,26 @@ class LakeTable:
             dfw = df.withColumn(_SHADOW_PARTITION_COL, F.col(part_col).cast("string"))
             if not pre_partitioned:
                 dfw = dfw.repartition(F.col(_SHADOW_PARTITION_COL))
+            if sort_within:
+                # Dynamic-partitioned writes re-sort each task's rows by
+                # the partition expression alone (FileFormatWriter's
+                # required ordering), which DESTROYS any clustering the
+                # caller arranged — every "sorted" file ends up spanning
+                # the whole key range and stats pruning dies. Sorting
+                # here with the shadow column as the leading key makes
+                # the child ordering satisfy the writer's requirement,
+                # so the writer skips its own sort and the secondary
+                # keys survive into the files (tight per-file min/max;
+                # maxRecordsPerFile then yields DISJOINT key ranges).
+                dfw = dfw.sortWithinPartitions(_SHADOW_PARTITION_COL, *sort_within)
             writer = dfw.write
             for k, v in (write_options or {}).items():
                 writer = writer.option(k, v)
             writer.partitionBy(_SHADOW_PARTITION_COL).parquet(commit_abs)
             new_files = _collect_partitioned_files(commit_abs, commit_rel)
         else:
+            if sort_within:
+                df = df.sortWithinPartitions(*sort_within)
             writer = df.write
             for k, v in (write_options or {}).items():
                 writer = writer.option(k, v)
@@ -580,7 +619,7 @@ class LakeTable:
         # footers (metadata-only reads): small commits on the driver,
         # large ones as a distributed job so the commit path never
         # becomes a driver file-loop bottleneck.
-        stats_cols = parent.properties.get("stats_cols") or []
+        stats_cols = properties.get("stats_cols") or []
         file_stats = dict(parent.file_stats)
         if stats_cols:
             new_rels = [rel for fl in new_files.values() for rel in fl]
@@ -600,7 +639,7 @@ class LakeTable:
             files=files,
             summary={"operation": mode, **(summary or {})},
             epochs=epochs,
-            properties=parent.properties,
+            properties=properties,
             file_stats=file_stats,
             delta_files=deltas,
         )

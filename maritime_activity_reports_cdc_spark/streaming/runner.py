@@ -108,6 +108,7 @@ class CheckpointedReplayer:
         n_chunks: int = 8,
         fail_after_epoch: int | None = None,
         prechunk: bool | None = None,
+        start_epoch: int = 0,
     ) -> ReplayReport:
         """Split the log into LSN-range epochs and relay each through the
         pipeline, committing the checkpoint after every epoch.
@@ -187,7 +188,10 @@ class CheckpointedReplayer:
                     chunk = changes.sparkSession.createDataFrame([], changes.schema)
             else:
                 chunk = changes.where((F.col("lsn") >= c_lo) & (F.col("lsn") < c_hi))
-            m = self.pipeline.apply_epoch(chunk, epoch=i)
+            # ``start_epoch`` offsets the PIPELINE epoch ids (two-stage
+            # replays: initial load then an update feed with its own
+            # checkpoint); the checkpoint itself tracks chunk indices.
+            m = self.pipeline.apply_epoch(chunk, epoch=start_epoch + i)
             metrics.append(m)
             run_count += 1
             events += m.n_keys

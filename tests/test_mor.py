@@ -170,3 +170,74 @@ def test_gen_mor_layer_pipeline_matches_cow(spark, tmp_path, changes):
     assert wo.silver.delta_partition_values() == []
     assert wo.summary.delta_partition_values() == []
     check()                      # read-optimized path after folding
+
+
+def test_auto_layer_mode_matches_cow_and_flips_plans(spark, tmp_path):
+    """layer_mode='auto' picks the silver plan per epoch: a dense batch
+    (initial load, bulk backfill) takes the whole-bucket CoW rewrite —
+    clearing outstanding deltas — while sparse update epochs take the
+    turn-level O(batch) delta path. The final state must match the pure
+    CoW pipeline in every layer."""
+    from maritime_activity_reports_cdc_spark.sources.generator import (
+        generate_sparse_update_epochs,
+    )
+
+    load = generate_transcript_changes(
+        spark, n_conversations=40, turns_per_conv=10,
+        update_ratio=0.0, delete_ratio=0.0, seed=23,
+    ).cache()
+    sparse = generate_sparse_update_epochs(
+        spark, n_conversations=40, turns_per_conv=10, n_epochs=3,
+        convs_per_epoch=3, updates_per_conv=2, delete_frac=0.2,
+        window_frac=0.3, seed=23,
+    ).cache()
+
+    cow = MedallionPipeline.create(spark, str(tmp_path / "cow"), n_buckets=4)
+    CheckpointedReplayer(cow, str(tmp_path / "ckc1")).run(load, n_chunks=1)
+    CheckpointedReplayer(cow, str(tmp_path / "ckc2")).run(
+        sparse, n_chunks=3, start_epoch=1
+    )
+
+    au = MedallionPipeline.create(
+        spark, str(tmp_path / "auto"), n_buckets=4, layer_mode="auto",
+        compact_every=0, compact_delta_depth=10**6,
+    )
+    CheckpointedReplayer(au, str(tmp_path / "cka1")).run(load, n_chunks=1)
+    # dense load epoch -> CoW plan: no silver deltas
+    assert au.silver.delta_partition_values() == []
+    CheckpointedReplayer(au, str(tmp_path / "cka2")).run(
+        sparse, n_chunks=3, start_epoch=1
+    )
+    # sparse epochs -> turn-level delta plan
+    assert au.silver.delta_partition_values(), "sparse epochs should append deltas"
+
+    def check():
+        pairs = [
+            (["conv_id", "turn_idx", "text", "n_tokens", "gap_secs", "turn_gap",
+              "is_role_transition", "quality_score"],
+             cow.read_silver(), au.read_silver()),
+            (["conv_id", "n_turns", "total_tokens", "avg_gap_secs", "max_gap_secs",
+              "risk_level"], cow.read_summary(), au.read_summary()),
+            (["business_date", "n_active_conversations", "n_turns", "total_tokens",
+              "avg_quality"], cow.read_daily(), au.read_daily()),
+        ]
+        for cols, a_df, b_df in pairs:
+            a = a_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+            b = b_df.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    check()
+
+    # a dense update wave on top (touches every conversation) must route
+    # back to the CoW plan and fold the outstanding deltas away
+    dense_wave = generate_sparse_update_epochs(
+        spark, n_conversations=40, turns_per_conv=10, n_epochs=1,
+        convs_per_epoch=200, updates_per_conv=3, delete_frac=0.0,
+        window_frac=1.0, seed=29, lsn_base=10**12,
+    ).cache()
+    cow.apply_epoch(dense_wave, epoch=10)
+    au.apply_epoch(dense_wave, epoch=10)
+    assert au.silver.delta_partition_values() == [], "dense epoch should fold deltas"
+    check()
+    for df in (load, sparse, dense_wave):
+        df.unpersist()

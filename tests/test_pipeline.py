@@ -92,22 +92,34 @@ def test_update_and_delete_ripple_to_gold(spark, tmp_path, tiny_batch):
 
 def test_delete_only_epoch_shrinks_daily_rollup(spark, tmp_path, tiny_batch):
     """A delete-only epoch must recompute the dates its rows vacated:
-    tombstoned turns contribute no ts, so the affected-date set comes from
-    the PRE-refresh silver state of the affected conversations (the
-    post-refresh state no longer has the rows)."""
+    tombstoned turns contribute no ts, so the affected-date set comes
+    from the conv×date index (the post-refresh silver state no longer
+    has the rows)."""
     p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
-    day2 = dt.datetime(2025, 3, 2, 9, 0, 0)
-    extra = [("I", 6, 0, T0, "cC", 0, "user", "day two text", None, day2)]
+    day2 = dt.datetime(2025, 4, 2, 9, 0, 0)
+    extra = [("I", 6, 0, T0, "cC", 0, "user", "next month text", None, day2)]
     batch0 = tiny_batch.unionByName(spark.createDataFrame(extra, CHANGE_SCHEMA))
     p.apply_epoch(batch0, epoch=0)
     daily = {r.business_date: r for r in p.daily.read().collect()}
-    assert daily[dt.date(2025, 3, 2)].n_turns == 1
+    assert daily[dt.date(2025, 4, 2)].n_turns == 1
+
+    files_before = dict(p.daily.snapshot().files)
+    idx_before = dict(p.conv_dates.snapshot().files)
 
     delete_only = [("D", 10, 0, T0, "cC", 0, None, None, None, None)]
     p.apply_epoch(spark.createDataFrame(delete_only, CHANGE_SCHEMA), epoch=1)
     daily2 = {r.business_date: r for r in p.daily.read().collect()}
-    assert dt.date(2025, 3, 2) not in daily2      # vacated date dropped
+    assert dt.date(2025, 4, 2) not in daily2      # vacated date dropped
     assert daily2[dt.date(2025, 3, 1)].n_turns == 5  # other date untouched
+
+    # pruning: the delete-only epoch must touch ONLY the vacated date's
+    # MONTH partitions — the untouched month's files survive verbatim in
+    # both the daily table and the conv×date index (no silver scan, no
+    # whole-table rewrite)
+    assert p.daily.snapshot().files["2025-03"] == files_before["2025-03"]
+    assert p.conv_dates.snapshot().files["2025-03"] == idx_before["2025-03"]
+    assert not p.daily.snapshot().files.get("2025-04")
+    assert not p.conv_dates.snapshot().files.get("2025-04")
 
 
 def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
