@@ -187,12 +187,25 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     min_jaccard_est: float = 0.5,
     hash_fn: str = "xxhash64",
+    skew_cap: int = 1000,
+    n_salts: int = 32,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidates.
 
     shingle -> signature -> band hashes -> bucket self-join -> estimated
     jaccard (fraction of matching signature positions). Returns
     (id_a, id_b, jaccard_est) with id_a < id_b.
+
+    Degenerate-band skew: a corpus with many near-identical documents
+    collapses them into ONE (band_idx, band_hash) bucket, and the
+    self-join's pair generation for that bucket lands in a single task
+    (quadratic — 10^6 identical docs = 5*10^11 pairs in one task).
+    Buckets larger than ``skew_cap`` are therefore SALTED: the b-side
+    gets a deterministic salt in [0, n_salts) and the a-side is
+    replicated once per salt, so the bucket's pair generation spreads
+    over ``n_salts`` tasks. The candidate pair SET is unchanged (every
+    cross-salt pair is still formed exactly once via a._id < b._id), so
+    oracle results are bit-identical; only task shapes change.
     """
     rows = n_hashes // bands
     H = _hasher(hash_fn)
@@ -214,30 +227,61 @@ def minhash_lsh_candidates(
             )
         ).alias("_band"),
     ).select("_id", "_sig", "_band.band_idx", "_band.band_hash")
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+
+    # hot-bucket detection: tiny frame (only buckets above the cap),
+    # broadcast back — cold buckets take the plain self-join below
+    hot = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > skew_cap)
+        .select("band_idx", "band_hash", F.lit(True).alias("_hot"))
     )
+    marked = banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")
+    cold = marked.where(F.col("_hot").isNull()).drop("_hot")
+    hotr = marked.where(F.col("_hot").isNotNull()).drop("_hot")
+
+    def _raw_pairs(a_df: DataFrame, b_df: DataFrame, extra_on: list) -> DataFrame:
+        return (
+            a_df.alias("a")
+            .join(
+                b_df.alias("b"),
+                on=[
+                    F.col("a.band_idx") == F.col("b.band_idx"),
+                    F.col("a.band_hash") == F.col("b.band_hash"),
+                    F.col("a._id") < F.col("b._id"),
+                    *extra_on,
+                ],
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._sig").alias("sig_a"),
+                F.col("b._sig").alias("sig_b"),
+            )
+        )
+
+    cold_pairs = _raw_pairs(cold, cold, [])
+    # salted hot path: b-side salt from the id hash; a-side replicated
+    # per salt so the shuffle key (band_idx, band_hash, salt) splits the
+    # bucket's pair generation across n_salts tasks
+    b_salted = hotr.withColumn("_salt", _pmod_salt("_id", n_salts))
+    a_repl = hotr.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    hot_pairs = _raw_pairs(
+        a_repl, b_salted, [F.col("a._salt") == F.col("b._salt")]
+    )
+    pairs = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
     est = pairs.withColumn(
         "jaccard_est",
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
         / F.lit(float(n_hashes)),
     )
     return est.where(F.col("jaccard_est") >= min_jaccard_est).select("id_a", "id_b", "jaccard_est")
+
+
+def _pmod_salt(col: str, n_salts: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_salts)).cast("int")
 
 
 def simhash(

@@ -33,7 +33,7 @@ but keep the columns for compaction/debugging.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -107,27 +107,42 @@ def resolve_generations(
     in the (small, compaction-bounded) delta set are contested;
     everything else passes through with a broadcast anti-join, and the
     per-group max-generation window runs over O(delta footprint) rows.
-    ``split=False``: one scan + one window over everything — cheaper
+    ``split=False``: one scan + one resolve over everything — cheaper
     when the delta backlog covers most groups (the caller decides from
-    snapshot stats, see read_resolved)."""
-    w = Window.partitionBy(*group_cols)
+    snapshot stats, see read_resolved).
 
-    def _resolve(df: DataFrame) -> DataFrame:
+    The max-generation-per-group is computed as a groupBy aggregate
+    (map-side partial max) joined back, NOT a window: a window
+    partitioned by the group serializes a hot group — one 10^6-turn
+    contested conversation = one task buffering 10^6 rows. With the
+    aggregate, the broadcast-join resolve (split=True) never shuffles
+    the contested rows at all (pure map-side filter), and the
+    split=False path shuffles but performs no per-group buffering
+    beyond the join sort."""
+
+    def _resolve(df: DataFrame, broadcast_maxg: bool) -> DataFrame:
+        maxg = df.groupBy(*group_cols).agg(F.max(GEN_COL).alias("_maxg"))
+        if broadcast_maxg:
+            maxg = F.broadcast(maxg)
         return (
-            df.withColumn("_maxg", F.max(GEN_COL).over(w))
-            .where(F.col(GEN_COL) == F.col("_maxg"))
-            .where(F.col(RANK_COL) == 1)
+            df.join(maxg, group_cols)
+            .where((F.col(GEN_COL) == F.col("_maxg")) & (F.col(RANK_COL) == 1))
             .drop("_maxg")
         )
 
     if not split:
-        return _resolve(base.unionByName(delta))
+        # backlog covers most groups: maxg is one row per group of the
+        # whole slice — too big to broadcast at scale, shuffle-join it
+        return _resolve(base.unionByName(delta), broadcast_maxg=False)
     contested_keys = delta.select(*group_cols).distinct()
     clean = base.join(F.broadcast(contested_keys), group_cols, "left_anti")
     contested = base.join(F.broadcast(contested_keys), group_cols, "left_semi").unionByName(
         delta
     )
-    return clean.unionByName(_resolve(contested))
+    # contested groups are compaction-bounded (same contract as the
+    # broadcast contested_keys) -> maxg broadcasts, contested rows are
+    # filtered in place with NO shuffle
+    return clean.unionByName(_resolve(contested, broadcast_maxg=True))
 
 
 def read_resolved(

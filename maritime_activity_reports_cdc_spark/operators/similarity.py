@@ -139,6 +139,120 @@ def lsh_topk(
     )
 
 
+def hyperplane_band_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Banded hyperplane signatures as (id, band_idx, band_sig) rows —
+    one row per (vector, band). Plane p = band_idx*rows_per_band + d uses
+    the same deterministic Rademacher construction as
+    ``hyperplane_signatures`` (identical planes on every executor, no
+    broadcast). One posexplode + bands*rows_per_band conditional-sum
+    aggregates, then the packed band signatures explode."""
+    from maritime_activity_reports_cdc_spark.operators.dedup import _hasher
+
+    H = _hasher(hash_fn)
+    n_planes = bands * rows_per_band
+    ex = df.select(
+        F.col(id_col).alias("_hid"), F.posexplode(vec_col).alias("_d", "_x")
+    )
+    dots = [
+        F.sum(
+            F.col("_x").cast("double")
+            * F.when(F.pmod(H(F.lit(seed), F.lit(p), F.col("_d")), 2) == 0, 1.0).otherwise(-1.0)
+        ).alias(f"_dot{p}")
+        for p in range(n_planes)
+    ]
+    agg = ex.groupBy("_hid").agg(*dots)
+    band_sigs = []
+    for b in range(bands):
+        sig = None
+        for d in range(rows_per_band):
+            p = b * rows_per_band + d
+            bit = F.when(F.col(f"_dot{p}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = bit if sig is None else sig * 2 + bit
+        band_sigs.append(sig)
+    return agg.select(
+        F.col("_hid").alias(id_col),
+        F.posexplode(F.array(*band_sigs)).alias("band_idx", "band_sig"),
+    )
+
+
+def banded_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qe",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """OR-amplified approximate top-k: a vector is a candidate when it
+    shares ANY of ``bands`` short hyperplane signatures with the query
+    (the same banding trick minhash LSH uses). Unlike the single-
+    signature ``lsh_topk`` — whose recall only FALLS as n_planes grows,
+    with no knob to raise it — recall here is tunable:
+    P(candidate) = 1 - (1 - p^rows_per_band)^bands with p = 1 - theta/pi,
+    so more bands => higher recall at a linearly larger candidate budget.
+
+    Shape: bucketed equi-join on (band_idx, band_sig) — never a cross
+    product; candidate pairs dedup, then one exact-cosine scoring pass
+    over the (small) candidate set. Returns (qid, nid, rk, sim)."""
+    sig_v = hyperplane_band_signatures(
+        vectors, id_col, vec_col, bands, rows_per_band, hash_fn=hash_fn
+    )
+    sig_q = hyperplane_band_signatures(
+        queries, query_id_col, query_vec_col, bands, rows_per_band, hash_fn=hash_fn
+    )
+    cand = (
+        sig_v.alias("v")
+        .join(
+            F.broadcast(sig_q.alias("q")),
+            (F.col("v.band_idx") == F.col("q.band_idx"))
+            & (F.col("v.band_sig") == F.col("q.band_sig"))
+            & (F.col(f"v.{id_col}") != F.col(f"q.{query_id_col}")),
+        )
+        .select(
+            F.col(f"q.{query_id_col}").alias("qid"),
+            F.col(f"v.{id_col}").alias("nid"),
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    scored = (
+        cand.join(
+            vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("_nvec")),
+            "nid",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("_qvec")
+                )
+            ),
+            "qid",
+        )
+        .select(
+            "qid", "nid", cosine_similarity(F.col("_qvec"), F.col("_nvec")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("sim", 4).alias("sim"))
+    )
+
+
 def knn_classify(
     vectors: DataFrame,
     queries: DataFrame,

@@ -826,6 +826,73 @@ SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk 
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
+def ann_banded_topk(spark, sf):
+    """OR-amplified (banded) LSH neighbors — the recall-tunable variant:
+    a vector is a candidate when ANY of the 6 short hyperplane
+    signatures matches the query's. md5_48-signed planes keep bucket
+    assignment (and so the exact result set) DuckDB-reproducible; the
+    recall>=0.9 property is asserted in pytest."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.banded_lsh_topk(
+        emb, queries, k=5, bands=6, rows_per_band=3, hash_fn="md5_48"
+    )
+
+
+def _ann_banded_sql(bands: int = 6, rows_per_band: int = 3, seed: int = 7, k: int = 5) -> str:
+    n_planes = bands * rows_per_band
+    sign = lambda p: (  # noqa: E731
+        f"CASE WHEN ('0x' || substr(md5({seed} || ':' || {p} || ':' || d), 1, 12))::BIGINT"
+        f" % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    dots = ",\n         ".join(
+        f"SUM(x * {sign(p)}) AS dot{p}" for p in range(n_planes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"((CASE WHEN dot{b * rows_per_band + d} > 0 THEN 1 ELSE 0 END)::BIGINT"
+            f" << {rows_per_band - 1 - d})"
+            for d in range(rows_per_band)
+        )
+        band_exprs.append(f"({bits}) AS b{b}")
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band_idx, b{b} AS band_sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), ex AS (
+  SELECT vec_id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS x FROM elems
+), dots AS (
+  SELECT vec_id, {dots}
+  FROM ex GROUP BY vec_id
+), sigs AS (
+  SELECT vec_id, {', '.join(band_exprs)} FROM dots
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS nid
+  FROM banded q JOIN banded v
+    ON v.band_idx = q.band_idx AND v.band_sig = q.band_sig AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT c.qid, c.nid, list_cosine_similarity(eq.e, ev.e) AS sim
+  FROM cand c JOIN elems eq ON eq.vec_id = c.qid JOIN elems ev ON ev.vec_id = c.nid
+), r AS (
+  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM scored
+)
+SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk <= {k}
+"""
+
+
+ANN_BANDED_SQL = _ann_banded_sql()
+
+
 def knn_classify_embeddings(spark, sf):
     emb = t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -936,5 +1003,8 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_docs": QuerySpec(simhash_docs, SIMHASH_SQL, "SimHash fingerprints"),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL, "brute-force cosine top-k"),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "LSH-bucketed approximate top-k"),
+    "ann_banded_topk": QuerySpec(
+        ann_banded_topk, ANN_BANDED_SQL, "banded (OR-amplified) LSH approximate top-k"
+    ),
     "knn_classify_embeddings": QuerySpec(knn_classify_embeddings, KNN_SQL, "kNN majority-label classify"),
 }

@@ -119,6 +119,40 @@ def test_lsh_topk_subset_of_bruteforce_space(spark):
     assert joined.count() > 0
 
 
+def test_banded_lsh_recall_tunable(spark):
+    """The banded (OR-amplified) ANN must reach recall@5 >= 0.9 against
+    exact brute force at a fixed candidate budget — the recall knob the
+    single-signature lsh_topk lacks — and adding bands must not lower
+    recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {(r.qid, r.nid) for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(bands, rows_per_band):
+        got = {
+            (r.qid, r.nid)
+            for r in SIM.banded_lsh_topk(
+                emb, q, k=5, bands=bands, rows_per_band=rows_per_band
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    hi = recall(bands=24, rows_per_band=3)
+    lo = recall(bands=4, rows_per_band=3)
+    assert hi >= 0.9, f"recall@5 {hi} below target"
+    assert hi >= lo, "more bands must not lower recall"
+    # approximate sims must be the true cosine values (scoring is exact)
+    ap = SIM.banded_lsh_topk(emb, q, k=5, bands=24, rows_per_band=3)
+    ex_df = SIM.brute_force_topk(emb, q, k=5)
+    joined = ap.alias("a").join(
+        ex_df.alias("e"),
+        (F.col("a.qid") == F.col("e.qid")) & (F.col("a.nid") == F.col("e.nid")),
+    )
+    assert joined.where(F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-6).count() == 0
+
+
 def test_multimodal_feature_plumbing(spark):
     media = MM.generate_fake_media(spark, n=48)
     feats = MM.extract_features(media)

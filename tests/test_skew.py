@@ -77,3 +77,84 @@ def test_chunked_enrichment_matches_plain_on_mega_conversation(spark):
     # independent groups instead of 1
     n_chunks = chunked[chunked.conv_id == "mega"].turn_idx.max() // (7_000 * 3)
     assert n_chunks >= 10
+
+
+def test_minhash_lsh_salted_hot_bucket_same_pairs(spark):
+    """A block of identical documents collapses into one LSH bucket per
+    band. The salted hot-bucket path must produce EXACTLY the same
+    candidate pair set as the plain self-join (completeness: every
+    cross-salt pair formed once), while splitting the bucket's pair
+    generation across n_salts tasks instead of one."""
+    from maritime_activity_reports_cdc_spark.operators import dedup as DD
+
+    n_dup = 400
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same document text repeated for every row here").alias("text"),
+    )
+    # every shingle carries the id so distinct docs share NO shingles
+    distinct = spark.range(n_dup, n_dup + 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("a"), F.col("id"), F.lit(" b"), F.col("id"), F.lit(" c"),
+            F.col("id"), F.lit(" d"), F.col("id"), F.lit(" e"), F.col("id"),
+        ).alias("text"),
+    )
+    docs = dup.unionByName(distinct)
+
+    salted = DD.minhash_lsh_candidates(
+        docs, min_jaccard_est=0.5, skew_cap=50, n_salts=8
+    )
+    plain = DD.minhash_lsh_candidates(
+        docs, min_jaccard_est=0.5, skew_cap=10**9
+    )
+    n_expected = n_dup * (n_dup - 1) // 2
+    assert plain.count() == n_expected
+    assert salted.count() == n_expected
+    # identical docs -> every pair estimated at exactly 1.0
+    assert salted.where(F.col("jaccard_est") < 1.0).count() == 0
+    # with the cap at 50, the 400-doc bucket is hot by construction,
+    # so the count equality above exercised the salted path
+
+
+def test_gen_mor_hot_contested_conversation_resolves_without_window(spark, tmp_path):
+    """A contested conversation with 10^5 turns in layer_mode='mor' must
+    resolve without a per-group Window (which would buffer the whole
+    conversation in one task): the resolve uses a map-side-combined
+    groupBy max joined back, broadcast on the contested-split path."""
+    import datetime as dt
+
+    from maritime_activity_reports_cdc_spark.plans import silver as sp
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.sources.generator import CHANGE_SCHEMA
+
+    T0 = dt.datetime(2025, 5, 1, 8, 0, 0)
+    n_turns = 100_000
+    mega_ins = spark.range(n_turns).select(
+        F.lit("I").alias("op"),
+        (F.col("id") + 1).alias("lsn"),
+        F.lit(0).alias("op_ordinal"),
+        F.lit(T0).alias("commit_ts"),
+        F.lit("mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("turn "), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1_746_000_000) + F.col("id")).alias("ts"),
+    )
+    p = MedallionPipeline.create(
+        spark, str(tmp_path / "hot"), n_buckets=4, layer_mode="mor",
+        compact_every=0, compact_delta_depth=10**6,
+    )
+    p.apply_epoch(mega_ins, epoch=0)
+    # contest the mega conversation: one turn updated in a later epoch
+    upd = [("U", 200_000, 1, T0, "mega", 5, "user", "turn 5 EDITED", None,
+            dt.datetime(2025, 5, 1, 8, 0, 5))]
+    p.apply_epoch(spark.createDataFrame(upd, CHANGE_SCHEMA), epoch=1)
+
+    resolved = sp.read_silver(p.silver)
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "hot contested resolve must not use a window"
+    rows = resolved.where(F.col("conv_id") == "mega")
+    assert rows.count() == n_turns
+    assert rows.where(F.col("turn_idx") == 5).collect()[0].text == "turn 5 EDITED"
