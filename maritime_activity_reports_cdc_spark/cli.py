@@ -30,6 +30,33 @@ def _spark(args):
     return spark
 
 
+def _apply_config(args) -> None:
+    """Fill in any flag the user left unset from ``--config`` (TOML,
+    see ``config.py``); explicit flags win, the file wins over built-in
+    defaults. Config-overridable flags default to None in the parser so
+    'unset' is detectable."""
+    from maritime_activity_reports_cdc_spark.config import EngineConfig, load_config
+
+    cfg = load_config(args.config) if getattr(args, "config", None) else EngineConfig()
+    fallbacks = {
+        "master": cfg.session.master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]"),
+        "shuffle_partitions": cfg.session.shuffle_partitions
+        or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
+        "n_buckets": cfg.lake.n_buckets,
+        "bronze_mode": cfg.lake.bronze_mode,
+        "layer_mode": cfg.lake.layer_mode,
+        "compact_every": cfg.lake.compact_every,
+        "compact_delta_depth": cfg.lake.compact_delta_depth,
+        "derived_every": cfg.lake.derived_every,
+        "keep_last": cfg.lake.expire_keep_last or 10,
+        "chunks": cfg.replay.chunks,
+        "target_file_rows": cfg.maintenance.target_file_rows,
+    }
+    for name, value in fallbacks.items():
+        if hasattr(args, name) and getattr(args, name) is None:
+            setattr(args, name, value)
+
+
 def cmd_setup(args) -> dict:
     from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
 
@@ -37,6 +64,9 @@ def cmd_setup(args) -> dict:
     p = MedallionPipeline.create(
         spark, args.root, n_buckets=args.n_buckets,
         bronze_mode=args.bronze_mode, layer_mode=args.layer_mode,
+        compact_every=args.compact_every,
+        compact_delta_depth=args.compact_delta_depth,
+        derived_every=args.derived_every,
     )
     return {
         "root": p.root,
@@ -188,21 +218,25 @@ def cmd_rewrite(args) -> dict:
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="cdc-engine")
-    ap.add_argument("--master", default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
-    ap.add_argument("--shuffle-partitions", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")))
+    ap.add_argument("--config", default=None,
+                    help="TOML config file (see config.py); explicit flags win")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("setup", help="create the medallion lake")
     sp.add_argument("--root", required=True)
-    sp.add_argument("--n-buckets", type=int, default=32)
-    sp.add_argument("--bronze-mode", choices=["cow", "mor"], default="mor")
-    sp.add_argument("--layer-mode", choices=["cow", "mor", "turn", "auto"], default="cow")
+    sp.add_argument("--n-buckets", type=int, default=None)
+    sp.add_argument("--bronze-mode", choices=["cow", "mor"], default=None)
+    sp.add_argument("--layer-mode", choices=["cow", "mor", "turn", "auto"], default=None)
+    sp.add_argument("--compact-every", type=int, default=None)
+    sp.add_argument("--compact-delta-depth", type=int, default=None)
+    sp.add_argument("--derived-every", type=int, default=None)
 
     rp = sub.add_parser("replay", help="bounded checkpointed replay of a change log")
     rp.add_argument("--root", required=True)
     rp.add_argument("--changes", required=True, help="parquet change-log path")
-    rp.add_argument("--chunks", type=int, default=8)
+    rp.add_argument("--chunks", type=int, default=None)
     rp.add_argument("--checkpoint", required=True)
 
     st = sub.add_parser("stream", help="tail change feeds via Structured Streaming")
@@ -222,7 +256,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     ep = sub.add_parser("expire", help="snapshot expiry + orphan file cleanup")
     ep.add_argument("--root", required=True)
-    ep.add_argument("--keep-last", type=int, default=10)
+    ep.add_argument("--keep-last", type=int, default=None)
 
     rw = sub.add_parser("rewrite", help="sorted file rewrite (OPTIMIZE analog)")
     rw.add_argument("--root", required=True)
@@ -238,6 +272,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    _apply_config(args)
     fn = {
         "setup": cmd_setup, "replay": cmd_replay, "stream": cmd_stream,
         "status": cmd_status, "compact": cmd_compact, "expire": cmd_expire,

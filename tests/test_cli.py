@@ -40,6 +40,70 @@ def _cli(engine_zip, *args: str) -> dict:
     return json.loads(line)
 
 
+def test_load_config_parses_and_validates(tmp_path):
+    from maritime_activity_reports_cdc_spark.config import load_config
+
+    path = tmp_path / "engine.toml"
+    path.write_text(
+        "[session]\nshuffle_partitions = 8\n"
+        "[lake]\nn_buckets = 4\nlayer_mode = \"auto\"\nderived_every = 2\n"
+        "[maintenance]\ntarget_file_rows = 5000\nsort_by = [\"conv_id\", \"turn_idx\"]\n"
+        "[replay]\nchunks = 3\n"
+    )
+    cfg = load_config(str(path))
+    assert cfg.session.shuffle_partitions == 8
+    assert cfg.lake.n_buckets == 4 and cfg.lake.layer_mode == "auto"
+    assert cfg.lake.derived_every == 2
+    assert cfg.maintenance.target_file_rows == 5000
+    assert cfg.maintenance.sort_by == ("conv_id", "turn_idx")
+    assert cfg.replay.chunks == 3
+    # unset sections keep defaults
+    assert cfg.lake.bronze_mode == "mor"
+
+    import pytest as _pytest
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[lake]\nn_bukkets = 4\n")
+    with _pytest.raises(ValueError, match="unknown key"):
+        load_config(str(bad))
+    bad2 = tmp_path / "bad2.toml"
+    bad2.write_text("[lake]\nlayer_mode = \"zebra\"\n")
+    with _pytest.raises(ValueError, match="layer_mode"):
+        load_config(str(bad2))
+
+
+def test_cli_config_file_end_to_end(spark, tmp_path, engine_zip):
+    """`--config engine.toml` must drive setup + replay defaults through
+    the real spark-submit binary path; explicit flags still win."""
+    from maritime_activity_reports_cdc_spark.sources.generator import (
+        generate_transcript_changes,
+    )
+
+    changes = generate_transcript_changes(
+        spark, n_conversations=10, turns_per_conv=4, update_ratio=0.2, seed=43
+    )
+    changes_path = str(tmp_path / "changes")
+    changes.coalesce(1).write.parquet(changes_path)
+    root = str(tmp_path / "lake")
+    cfg = tmp_path / "engine.toml"
+    cfg.write_text(
+        "[session]\nshuffle_partitions = 8\n"
+        "[lake]\nn_buckets = 4\nbronze_mode = \"mor\"\nlayer_mode = \"auto\"\n"
+        "derived_every = 2\n"
+        "[replay]\nchunks = 2\n"
+    )
+
+    out = _cli(engine_zip, "--config", str(cfg), "setup", "--root", root)
+    assert out["n_buckets"] == 4 and out["layer_mode"] == "auto"
+
+    out = _cli(engine_zip, "--config", str(cfg), "replay", "--root", root,
+               "--changes", changes_path, "--checkpoint", str(tmp_path / "ck"))
+    assert out["epochs_run"] == 2 and out["events"] > 0  # chunks from config
+
+    out = _cli(engine_zip, "--config", str(cfg), "status", "--root", root)
+    assert out["tables"]["bronze"]["version"] > 0
+
+
 def test_cmd_rewrite_turn_mode_resolves_by_generation(spark, tmp_path):
     """`rewrite` on a turn-mode silver table must resolve deltas by _gen:
     a re-enriched successor row carries the SAME (lsn, op_ordinal)

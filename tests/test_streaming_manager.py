@@ -110,3 +110,84 @@ def test_restart_failed_resumes_and_converges(spark, tmp_path, feeds):
     a = p.silver.read().orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").toPandas()
     b = p2.silver.read().orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").toPandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_processing_time_soak_with_kill_and_live_appends(spark, tmp_path):
+    """Continuous-trigger soak: a processingTime stream over a growing
+    file feed, with an injected mid-run crash. The manager restarts it
+    from the checkpoint, later appends are picked up live, and the final
+    state converges to the batch replay of the full log; progress rows
+    land in the stream-metrics table."""
+    import time
+
+    changes = generate_transcript_changes(
+        spark, n_conversations=15, turns_per_conv=5, update_ratio=0.3, seed=37,
+    ).cache()
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    step = (hi - lo) // 3 + 1
+    parts = [
+        changes.where((F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step))
+        for i in range(3)
+    ]
+    feed = str(tmp_path / "feed")
+    parts[0].coalesce(1).write.mode("append").parquet(feed)
+
+    p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
+    mgr = StreamManager(spark, metrics_path=str(tmp_path / "_sm"))
+    state = {"fail_once": True}
+
+    def make():
+        def relay(df, batch_id):
+            if state["fail_once"] and batch_id >= 1:
+                state["fail_once"] = False
+                raise RuntimeError("injected kill")
+            p.apply_epoch(df, epoch=batch_id)
+
+        return (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .parquet(feed)
+            .writeStream.foreachBatch(relay)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    q = mgr.register("soak", make)
+    time.sleep(4)
+    # live append while the stream runs -> a later microbatch -> the
+    # injected crash fires on it
+    parts[1].coalesce(1).write.mode("append").parquet(feed)
+    deadline = time.monotonic() + 120
+    while q.isActive and time.monotonic() < deadline:
+        time.sleep(0.5)
+    assert not q.isActive and q.exception() is not None, "injected kill did not fire"
+
+    assert mgr.restart_failed() == ["soak"]
+    parts[2].coalesce(1).write.mode("append").parquet(feed)
+
+    expected = MedallionPipeline.create(spark, str(tmp_path / "b"), n_buckets=4)
+    from maritime_activity_reports_cdc_spark.streaming.runner import CheckpointedReplayer
+
+    CheckpointedReplayer(expected, str(tmp_path / "ckb")).run(changes, n_chunks=1)
+    want = expected.silver.read().count()
+
+    deadline = time.monotonic() + 180
+    while time.monotonic() < deadline:
+        if p.silver.read().count() == want:
+            break
+        time.sleep(1.0)
+    mgr.collect_progress()
+    mgr.stop_all()
+
+    cols = ["conv_id", "turn_idx", "text", "n_tokens"]
+    a = expected.silver.read().select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    b = p.silver.read().select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert mgr.queries["soak"].restarts == 1
+    rows = mgr.metrics_table.read().where(F.col("name") == "soak").collect()
+    assert rows and all(r.batch_duration_ms >= 0 for r in rows)
+    health = mgr.health_check()
+    # last_error is the historical record of what triggered the restart
+    assert "injected kill" in health["soak"]["last_error"]
+    assert not health["soak"]["active"]
+    changes.unpersist()
