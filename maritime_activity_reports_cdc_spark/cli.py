@@ -176,6 +176,14 @@ def cmd_expire(args) -> dict:
     return out
 
 
+def cmd_report(args) -> dict:
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.report import pipeline_report
+
+    spark = _spark(args)
+    return pipeline_report(MedallionPipeline.load(spark, args.root))
+
+
 def cmd_rewrite(args) -> dict:
     from maritime_activity_reports_cdc_spark.operators.apply import rewrite_files
     from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
@@ -250,7 +258,7 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--poll-secs", type=float, default=5.0)
     st.add_argument("--max-polls", type=int, default=10)
 
-    for name in ("status", "compact"):
+    for name in ("status", "compact", "report"):
         x = sub.add_parser(name)
         x.add_argument("--root", required=True)
 
@@ -276,7 +284,7 @@ def main(argv: list[str] | None = None) -> int:
     fn = {
         "setup": cmd_setup, "replay": cmd_replay, "stream": cmd_stream,
         "status": cmd_status, "compact": cmd_compact, "expire": cmd_expire,
-        "rewrite": cmd_rewrite,
+        "rewrite": cmd_rewrite, "report": cmd_report,
     }[args.cmd]
     print(json.dumps(fn(args), default=str))
     return 0

@@ -187,7 +187,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     min_jaccard_est: float = 0.5,
     hash_fn: str = "xxhash64",
-    skew_cap: int = 1000,
+    skew_cap: int | None = None,
     n_salts: int = 32,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidates.
@@ -196,40 +196,101 @@ def minhash_lsh_candidates(
     jaccard (fraction of matching signature positions). Returns
     (id_a, id_b, jaccard_est) with id_a < id_b.
 
-    Degenerate-band skew: a corpus with many near-identical documents
-    collapses them into ONE (band_idx, band_hash) bucket, and the
-    self-join's pair generation for that bucket lands in a single task
-    (quadratic — 10^6 identical docs = 5*10^11 pairs in one task).
-    Buckets larger than ``skew_cap`` are therefore SALTED: the b-side
-    gets a deterministic salt in [0, n_salts) and the a-side is
-    replicated once per salt, so the bucket's pair generation spreads
-    over ``n_salts`` tasks. The candidate pair SET is unchanged (every
-    cross-salt pair is still formed exactly once via a._id < b._id), so
-    oracle results are bit-identical; only task shapes change.
+    Degenerate-band skew (``skew_cap``): a corpus with many
+    near-identical documents collapses them into ONE (band_idx,
+    band_hash) bucket, and the self-join's pair generation for that
+    bucket lands in a single task (quadratic — 10^6 near-identical docs
+    = 5*10^11 pairs in one task; AQE's skew split won't fire because it
+    triggers on INPUT partition bytes, and the hot bucket's input is
+    small). Setting ``skew_cap`` salts buckets above it: the b-side gets
+    a deterministic salt in [0, n_salts) and the a-side replicates per
+    salt, spreading the bucket's pair generation over ``n_salts`` tasks.
+    The candidate pair SET is unchanged (every cross-salt pair forms
+    exactly once via a._id < b._id), so results — and the DuckDB oracle
+    — stay bit-identical; only task shapes change.
+
+    Default is None (single-path plan): the salted plan adds a
+    detection aggregate, signature caching and two estimate joins —
+    measured ~2x on clean corpora — so enable it for adversarial
+    near-duplicate-heavy inputs (or pre-collapse exact duplicates with
+    ``exact_dedup`` first, which removes the identical-text mass).
     """
     rows = n_hashes // bands
     H = _hasher(hash_fn)
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, hash_fn).select(
         F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
     )
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    H(F.concat_ws(",", F.slice("_sig", b * rows + 1, rows))).alias(
-                        "band_hash"
+    if skew_cap is None:
+        # single-path plan: signatures carried inline; the self-join
+        # reuses one exchange, so the shingle->signature pipeline runs
+        # once
+        banded = sig.select(
+            "_id",
+            "_sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        H(F.concat_ws(",", F.slice("_sig", b * rows + 1, rows))).alias(
+                            "band_hash"
+                        ),
                     ),
-                ),
+                )
+            ).alias("_band"),
+        ).select("_id", "_sig", "_band.band_idx", "_band.band_hash")
+        pairs = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                on=[
+                    F.col("a.band_idx") == F.col("b.band_idx"),
+                    F.col("a.band_hash") == F.col("b.band_hash"),
+                    F.col("a._id") < F.col("b._id"),
+                ],
             )
-        ).alias("_band"),
-    ).select("_id", "_sig", "_band.band_idx", "_band.band_hash")
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._sig").alias("sig_a"),
+                F.col("b._sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        est = pairs.withColumn(
+            "jaccard_est",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+            / F.lit(float(n_hashes)),
+        )
+        return est.where(F.col("jaccard_est") >= min_jaccard_est).select(
+            "id_a", "id_b", "jaccard_est"
+        )
 
-    # hot-bucket detection: tiny frame (only buckets above the cap),
-    # broadcast back — cold buckets take the plain self-join below
+    # ---- salted plan -----------------------------------------------------
+    # Signatures persist (id + n_hashes longs per doc): they feed the
+    # banded frame AND the two estimate joins. The banded frame is
+    # NARROW (no signature array) and also persists — it feeds hot
+    # detection plus two join sides of both the cold and hot paths.
+    sig = sig.persist()
+    banded = (
+        sig.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        H(F.concat_ws(",", F.slice("_sig", b * rows + 1, rows))).alias(
+                            "band_hash"
+                        ),
+                    ),
+                )
+            ).alias("_band"),
+        )
+        .select("_id", "_band.band_idx", "_band.band_hash")
+        .persist()
+    )
+
     hot = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.count("*").alias("_n"))
@@ -252,12 +313,7 @@ def minhash_lsh_candidates(
                     *extra_on,
                 ],
             )
-            .select(
-                F.col("a._id").alias("id_a"),
-                F.col("b._id").alias("id_b"),
-                F.col("a._sig").alias("sig_a"),
-                F.col("b._sig").alias("sig_b"),
-            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         )
 
     cold_pairs = _raw_pairs(cold, cold, [])
@@ -272,10 +328,14 @@ def minhash_lsh_candidates(
         a_repl, b_salted, [F.col("a._salt") == F.col("b._salt")]
     )
     pairs = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
-    est = pairs.withColumn(
-        "jaccard_est",
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
-        / F.lit(float(n_hashes)),
+    est = (
+        pairs.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+            / F.lit(float(n_hashes)),
+        )
     )
     return est.where(F.col("jaccard_est") >= min_jaccard_est).select("id_a", "id_b", "jaccard_est")
 

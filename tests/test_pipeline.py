@@ -301,3 +301,27 @@ def test_structured_streaming_feed_matches_batch(spark, tmp_path):
     ).toPandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     changes.unpersist()
+
+
+def test_quality_and_pipeline_report(spark, tmp_path, tiny_batch):
+    """The report surface (reference utils/data_quality.py:167-247 +
+    status vocabulary): score stats, category distribution, per-field
+    completeness, relay throughput, table state."""
+    from maritime_activity_reports_cdc_spark.report import pipeline_report, quality_report
+
+    p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
+    p.apply_epoch(tiny_batch, epoch=0)
+    p.flush_observability()
+
+    rep = pipeline_report(p)
+    q = rep["silver_quality"]
+    assert q["total_records"] == 5
+    assert abs(q["quality_statistics"]["average_score"] - 1.0) < 1e-9
+    assert q["data_completeness"]["text"]["completeness_percentage"] == 100.0
+    assert sum(q["quality_distribution"].values()) == 5
+    assert rep["relay"]["events_applied"] == 5 and rep["relay"]["epochs"] == 1
+    assert rep["tables"]["bronze"]["version"] >= 1
+    assert "conv_dates" in rep["tables"]
+
+    empty = quality_report(p.silver.read().where("1=0"), "empty")
+    assert empty["total_records"] == 0 and "error" in empty

@@ -105,9 +105,7 @@ def test_minhash_lsh_salted_hot_bucket_same_pairs(spark):
     salted = DD.minhash_lsh_candidates(
         docs, min_jaccard_est=0.5, skew_cap=50, n_salts=8
     )
-    plain = DD.minhash_lsh_candidates(
-        docs, min_jaccard_est=0.5, skew_cap=10**9
-    )
+    plain = DD.minhash_lsh_candidates(docs, min_jaccard_est=0.5)  # default single path
     n_expected = n_dup * (n_dup - 1) // 2
     assert plain.count() == n_expected
     assert salted.count() == n_expected
