@@ -122,9 +122,9 @@ def main() -> None:
             generate_sparse_update_epochs,
         )
 
-        sp_convs = int(os.environ.get("BENCH_SPARSE_CONVS", "30000"))
+        sp_convs = int(os.environ.get("BENCH_SPARSE_CONVS", "20000"))
         sp_turns = int(os.environ.get("BENCH_SPARSE_TURNS", "25"))
-        sp_epochs = int(os.environ.get("BENCH_SPARSE_EPOCHS", "8"))
+        sp_epochs = int(os.environ.get("BENCH_SPARSE_EPOCHS", "6"))
         load = generate_transcript_changes(
             spark, n_conversations=sp_convs, turns_per_conv=sp_turns,
             update_ratio=0.0, delete_ratio=0.0, seed=7,
@@ -185,12 +185,17 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
-    total = round(sum(timings.values()), 3)
+    # headline total stays comparable with earlier rounds: the sparse
+    # regime family is reported separately (its own lakes + loads)
+    sparse_keys = [k for k in timings if k.startswith("cdc_sparse")]
+    total = round(sum(v for k, v in timings.items() if k not in sparse_keys), 3)
+    sparse_wall = round(sum(timings[k] for k in sparse_keys), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_plus_cdc_replay_wall_seconds",
                 "value": total,
+                "sparse_wall_secs": sparse_wall,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,

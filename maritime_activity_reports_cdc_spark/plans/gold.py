@@ -242,15 +242,22 @@ def refresh_daily_via_index(
     covers_all = affected.dense and len(affected.buckets) >= n_buckets
     if covers_all:
         months_set = set(index_table.snapshot().files)
+        if batch_dates is not None:
+            months_set.update(
+                r[0]
+                for r in batch_dates.select(_month("business_date")).distinct().collect()
+            )
     else:
         vacated = _restrict_to_affected(
             index_table.read().select("conv_id", "business_month"), affected, n_buckets
-        ).select("business_month")
-        months_set = {r[0] for r in vacated.distinct().collect()}
-    if batch_dates is not None:
-        months_set.update(
-            r[0] for r in batch_dates.select(_month("business_date")).distinct().collect()
-        )
+        ).select(F.col("business_month").alias("_m"))
+        src = vacated
+        if batch_dates is not None:
+            src = src.unionByName(
+                batch_dates.select(_month("business_date").alias("_m"))
+            )
+        # one discovery job per flush (vacated ∪ batch months fused)
+        months_set = {r[0] for r in src.distinct().collect()}
     months = sorted(months_set)
 
     if not months:
