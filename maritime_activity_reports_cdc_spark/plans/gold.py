@@ -277,6 +277,16 @@ def refresh_daily_via_index(
             )
             enriched = affected.semi(silver_slice)
         fresh = conv_date_activity(enriched).select(*cols)
+        if batch_dates is None:
+            # without the batch's ts dates the months-covered invariant
+            # (fresh months ⊆ vacated ∪ batch months) doesn't hold for
+            # fresh inserts — derive the missing months from fresh
+            # itself so no fresh row lands outside a replaced partition
+            extra = {
+                r[0] for r in fresh.select("business_month").distinct().collect()
+            } - set(months)
+            if extra:
+                months = sorted(set(months) | extra)
         if covers_all:
             merged = fresh
         else:

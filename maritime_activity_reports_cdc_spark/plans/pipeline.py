@@ -524,20 +524,23 @@ class MedallionPipeline:
                     self.silver, affected, columns=gold_plan.SUMMARY_INPUT_COLS
                 ).persist()
                 enriched_for_gold = shared_slice
-            if self.parallel_layers and self.summary is not None and self.daily is not None:
-                # Independent consumers of committed state writing to
-                # DIFFERENT tables — two driver threads overlap their plan
-                # analysis, job scheduling and commit serial fractions.
-                from concurrent.futures import ThreadPoolExecutor
+            try:
+                if self.parallel_layers and self.summary is not None and self.daily is not None:
+                    # Independent consumers of committed state writing to
+                    # DIFFERENT tables — two driver threads overlap their
+                    # plan analysis, job scheduling and commit serial
+                    # fractions.
+                    from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    for f in [pool.submit(_summary), pool.submit(_daily)]:
-                        f.result()
-            else:
-                _summary()
-                _daily()
-            if shared_slice is not None:
-                shared_slice.unpersist()
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        for f in [pool.submit(_summary), pool.submit(_daily)]:
+                            f.result()
+                else:
+                    _summary()
+                    _daily()
+            finally:
+                if shared_slice is not None:
+                    shared_slice.unpersist()
             if len(pend) > 1:
                 affected.unpersist()
         finally:
