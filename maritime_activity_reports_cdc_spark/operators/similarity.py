@@ -147,13 +147,22 @@ def hyperplane_band_signatures(
     rows_per_band: int = 4,
     seed: int = 7,
     hash_fn: str = "xxhash64",
+    probes: int = 0,
 ) -> DataFrame:
     """Banded hyperplane signatures as (id, band_idx, band_sig) rows —
     one row per (vector, band). Plane p = band_idx*rows_per_band + d uses
     the same deterministic Rademacher construction as
     ``hyperplane_signatures`` (identical planes on every executor, no
     broadcast). One posexplode + bands*rows_per_band conditional-sum
-    aggregates, then the packed band signatures explode."""
+    aggregates, then the packed band signatures explode.
+
+    ``probes`` > 0 (query side): per band, ALSO emit the signatures with
+    the ``probes`` lowest-|margin| bits flipped (multi-probe LSH) —
+    planes the vector barely cleared are where a true neighbor most
+    likely landed on the other side, so probing them raises recall at a
+    +probes-per-band candidate cost instead of adding whole bands. The
+    tiny per-row sort runs over ``rows_per_band`` elements (HOFs are
+    fine at that size)."""
     from maritime_activity_reports_cdc_spark.operators.dedup import _hasher
 
     H = _hasher(hash_fn)
@@ -169,7 +178,7 @@ def hyperplane_band_signatures(
         for p in range(n_planes)
     ]
     agg = ex.groupBy("_hid").agg(*dots)
-    band_sigs = []
+    band_variant_arrays = []
     for b in range(bands):
         sig = None
         for d in range(rows_per_band):
@@ -178,11 +187,46 @@ def hyperplane_band_signatures(
                 F.lit(0).cast("long")
             )
             sig = bit if sig is None else sig * 2 + bit
-        band_sigs.append(sig)
+        variants = [sig]
+        if probes > 0:
+            # rank the band's planes by |dot| ascending; flip the
+            # lowest-margin `probes` bits (bit d sits at weight
+            # 2^(rows_per_band-1-d) in the packed signature)
+            margins = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            F.abs(F.col(f"_dot{b * rows_per_band + d}")).alias("m"),
+                            F.lit(rows_per_band - 1 - d).cast("long").alias("w"),
+                        )
+                        for d in range(rows_per_band)
+                    ]
+                )
+            )
+            for k in range(min(probes, rows_per_band)):
+                wcol = F.element_at(margins, k + 1)["w"]
+                # shiftleft needs a literal shift — enumerate the
+                # rows_per_band possible weights instead
+                flip = F.when(wcol == 0, F.lit(1).cast("long"))
+                for wv in range(1, rows_per_band):
+                    flip = flip.when(wcol == wv, F.lit(1 << wv).cast("long"))
+                variants.append(sig.bitwiseXOR(flip.otherwise(F.lit(0).cast("long"))))
+        # structs built directly — NOT via F.transform(lambda v, _b=b: ..):
+        # PySpark treats a two-parameter lambda as (element, index) and
+        # would bind _b to the array INDEX, not the band. Base and flips
+        # are pairwise distinct (single-bit XORs at distinct weights).
+        band_variant_arrays.append(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), v.alias("band_sig"))
+                    for v in variants
+                ]
+            )
+        )
     return agg.select(
         F.col("_hid").alias(id_col),
-        F.posexplode(F.array(*band_sigs)).alias("band_idx", "band_sig"),
-    )
+        F.explode(F.flatten(F.array(*band_variant_arrays))).alias("_bv"),
+    ).select(id_col, "_bv.band_idx", "_bv.band_sig")
 
 
 def banded_lsh_topk(
@@ -196,6 +240,7 @@ def banded_lsh_topk(
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
     hash_fn: str = "xxhash64",
+    probes: int = 0,
 ) -> DataFrame:
     """OR-amplified approximate top-k: a vector is a candidate when it
     shares ANY of ``bands`` short hyperplane signatures with the query
@@ -205,14 +250,22 @@ def banded_lsh_topk(
     P(candidate) = 1 - (1 - p^rows_per_band)^bands with p = 1 - theta/pi,
     so more bands => higher recall at a linearly larger candidate budget.
 
+    ``probes`` adds multi-probe on the query side (flip the lowest-
+    margin bits per band — see hyperplane_band_signatures): recall per
+    band rises at +probes extra buckets per band, the cheaper knob when
+    the vector-side index cost (bands x N signature rows) is binding.
+
     Shape: bucketed equi-join on (band_idx, band_sig) — never a cross
     product; candidate pairs dedup, then one exact-cosine scoring pass
     over the (small) candidate set. Returns (qid, nid, rk, sim)."""
     sig_v = hyperplane_band_signatures(
         vectors, id_col, vec_col, bands, rows_per_band, hash_fn=hash_fn
     )
+    # multi-probe applies to the QUERY side only: probing a near-miss
+    # signature from one side already forms the (query, vector) pair
     sig_q = hyperplane_band_signatures(
-        queries, query_id_col, query_vec_col, bands, rows_per_band, hash_fn=hash_fn
+        queries, query_id_col, query_vec_col, bands, rows_per_band,
+        hash_fn=hash_fn, probes=probes,
     )
     cand = (
         sig_v.alias("v")

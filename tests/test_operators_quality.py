@@ -153,6 +153,31 @@ def test_banded_lsh_recall_tunable(spark):
     assert joined.where(F.abs(F.col("a.sim") - F.col("e.sim")) > 1e-6).count() == 0
 
 
+def test_multi_probe_raises_recall_at_fixed_bands(spark):
+    """Multi-probe (flip the lowest-margin bits per band on the query
+    side) must raise recall monotonically at a fixed band budget — the
+    cheap knob when adding whole bands is too expensive."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {(r.qid, r.nid) for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(probes):
+        got = {
+            (r.qid, r.nid)
+            for r in SIM.banded_lsh_topk(
+                emb, q, k=5, bands=6, rows_per_band=3, probes=probes
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r1 >= r0 and r2 >= r1, f"probing lowered recall: {r0} {r1} {r2}"
+    assert r1 > r0, "one probe must add candidates on this corpus"
+    assert r2 >= 0.9
+
+
 def test_multimodal_feature_plumbing(spark):
     media = MM.generate_fake_media(spark, n=48)
     feats = MM.extract_features(media)
