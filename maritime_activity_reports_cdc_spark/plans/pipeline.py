@@ -102,6 +102,12 @@ class MedallionPipeline:
     # tables, both downstream of the silver write) — overlaps their
     # driver-side plan/commit serial fractions.
     parallel_layers: bool = True
+    # Overlap the bronze apply with the turn-level silver refresh: the
+    # refresh derives its state from the PRE-apply snapshot overlaid
+    # with the batch winners (associative dedup), so the two commits
+    # have no data dependency. Turn/auto sparse epochs only; under
+    # overlap EpochMetrics reports the joint wall in silver_secs.
+    overlap_layers: bool = True
     # Refresh the derived gold layers every N epochs instead of every
     # epoch — the reference's OWN trigger design (silver fires at 30 s,
     # gold reports at 60 s, gold analytics at 90 s: models/config.py:44 +
@@ -298,21 +304,44 @@ class MedallionPipeline:
         if self.cache_batches:
             batch = batch.persist()
         t0 = time.monotonic()
-        res = bronze_plan.apply_transcript_batch(self.bronze, batch, epoch=epoch)
-        if self.bronze_mode == "mor" and res.applied and self._compaction_due(
-            self.bronze, epoch
-        ):
-            from maritime_activity_reports_cdc_spark.operators.apply import compact
 
-            compact(self.bronze, summary={"epoch": epoch})
-        t1 = time.monotonic()
+        def _bronze() -> bronze_plan.ApplyResult:
+            r = bronze_plan.apply_transcript_batch(self.bronze, batch, epoch=epoch)
+            if self.bronze_mode == "mor" and r.applied and self._compaction_due(
+                self.bronze, epoch
+            ):
+                from maritime_activity_reports_cdc_spark.operators.apply import compact
+
+                compact(self.bronze, summary={"epoch": epoch})
+            return r
 
         # Affected-set for downstream incremental refresh, computed ONCE
         # (one combined aggregate) and shared by every layer. For deletes
         # the row image is null, but conv_id is part of the key so it is
         # always present — deletes propagate to silver/gold (G7 fix).
+        # (Derived from the BATCH, so it does not depend on the bronze
+        # commit — which is what lets the turn path below overlap the
+        # bronze apply with the silver refresh.)
         affected = silver_plan.compute_affected(batch, self.n_buckets)
         affected.dense = self._dense_batch(affected)
+        # The turn-level silver refresh can derive its inputs from the
+        # PRE-apply bronze snapshot overlaid with the batch winners
+        # (associative max-by dedup), so bronze and silver commit
+        # concurrently on two driver threads — their epoch guards keep
+        # every crash interleaving resumable (bronze-behind-silver
+        # resumes by re-applying bronze and skipping silver).
+        overlap = (
+            self.overlap_layers
+            and (
+                self.layer_mode == "turn"
+                or (self.layer_mode == "auto" and not affected.dense)
+            )
+            and affected.buckets
+        )
+        res: bronze_plan.ApplyResult | None = None
+        if not overlap:
+            res = _bronze()
+        t1 = time.monotonic()
         enriched = None
         try:
             dates = None
@@ -358,9 +387,22 @@ class MedallionPipeline:
             if use_turn:
                 # turn-level incremental refresh: O(batch) fat work per
                 # epoch (fresh rows from the batch, ≤1 successor per key)
-                silver_plan.refresh_silver_turn(
-                    self.bronze, self.silver, batch, affected, epoch=epoch
-                )
+                if overlap:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        fb = pool.submit(_bronze)
+                        fs = pool.submit(
+                            silver_plan.refresh_silver_turn,
+                            self.bronze, self.silver, batch, affected,
+                            epoch, "silver_refresh", True,
+                        )
+                        res = fb.result()
+                        fs.result()
+                else:
+                    silver_plan.refresh_silver_turn(
+                        self.bronze, self.silver, batch, affected, epoch=epoch
+                    )
             else:
                 # Fresh silver rows for the affected conversations —
                 # computed ONCE and fed to both the silver write and

@@ -373,6 +373,7 @@ def refresh_silver_turn(
     affected: AffectedSet,
     epoch: int,
     source: str = "silver_refresh",
+    pre_apply_batch: bool = False,
 ) -> bool:
     """TURN-level incremental silver refresh — epoch cost O(batch) in the
     fat-text dimension, even when every conversation is touched.
@@ -417,10 +418,29 @@ def refresh_silver_turn(
     winners = dedup_latest(batch).persist()
 
     # 1. thin window pass over post-apply bronze state: predecessor
-    # values for every live turn of the affected buckets
-    thin = read_merged(bronze_table, affected.buckets, bounds=affected.prune()).select(
-        "conv_id", "turn_idx", "ts", "role"
-    )
+    # values for every live turn of the affected buckets.
+    #
+    # ``pre_apply_batch``: derive the SAME state from the pre-apply
+    # snapshot overlaid with this batch's winners — max-by-(lsn,
+    # op_ordinal) is associative, so dedup(pre-resolved ∪ winners) ==
+    # the post-apply resolve. Tombstones must stay visible through the
+    # overlay (a hidden pre-state delete would let a stale batch update
+    # resurrect the key). This removes the dependency on the bronze
+    # COMMIT, letting the relay run the bronze apply and this refresh
+    # concurrently.
+    thin_cols = ["conv_id", "turn_idx", "ts", "role", "op", "lsn", "op_ordinal"]
+    if pre_apply_batch:
+        pre = bronze_table.read_partitions(
+            affected.buckets, bounds=affected.prune(),
+            deltas="include", tombstones="include",
+        ).select(*thin_cols)
+        thin = (
+            dedup_latest(pre.unionByName(winners.select(*thin_cols)))
+            .where(F.col("op").isNull() | (F.col("op") != "D"))
+        )
+    else:
+        thin = read_merged(bronze_table, affected.buckets, bounds=affected.prune())
+    thin = thin.select("conv_id", "turn_idx", "ts", "role")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     thin = (
         thin.withColumn("_prev_ts", F.lag("ts").over(w))

@@ -241,3 +241,41 @@ def test_auto_layer_mode_matches_cow_and_flips_plans(spark, tmp_path):
     check()
     for df in (load, sparse, dense_wave):
         df.unpersist()
+
+
+def test_overlap_turn_refresh_no_resurrection_on_stale_update(spark, tmp_path):
+    """With bronze/silver overlapped, the turn refresh derives state from
+    the PRE-apply snapshot overlaid with batch winners. A batch carrying
+    an update OLDER than a persisted delete must not resurrect the key
+    in silver (the overlay keeps tombstones visible through the dedup)."""
+    import datetime as dt
+
+    from maritime_activity_reports_cdc_spark.sources.generator import CHANGE_SCHEMA
+
+    T0 = dt.datetime(2025, 7, 1, 0, 0, 0)
+
+    def row(op, lsn, conv, turn, text=None, ts_off=0):
+        if op == "D":
+            return ("D", lsn, lsn, T0, conv, turn, None, None, None, None)
+        return (op, lsn, lsn, T0, conv, turn, "user", text, None,
+                T0 + dt.timedelta(seconds=ts_off))
+
+    for overlap in (False, True):
+        p = MedallionPipeline.create(
+            spark, str(tmp_path / f"ov{overlap}"), n_buckets=2,
+            layer_mode="turn", compact_every=0, compact_delta_depth=10**6,
+        )
+        p.overlap_layers = overlap
+        p.apply_epoch(spark.createDataFrame(
+            [row("I", 1, "cX", 0, "hello", 0), row("I", 2, "cX", 1, "there", 60)],
+            CHANGE_SCHEMA), epoch=0)
+        # delete turn 1 at lsn 10
+        p.apply_epoch(spark.createDataFrame(
+            [row("D", 10, "cX", 1)], CHANGE_SCHEMA), epoch=1)
+        # redelivered STALE update for turn 1 at lsn 5 (< 10)
+        p.apply_epoch(spark.createDataFrame(
+            [row("U", 5, "cX", 1, "stale resurrect attempt", 60)],
+            CHANGE_SCHEMA), epoch=2)
+        silver = {(r.conv_id, r.turn_idx) for r in p.read_silver().collect()}
+        assert ("cX", 1) not in silver, f"stale update resurrected key (overlap={overlap})"
+        assert ("cX", 0) in silver
