@@ -324,20 +324,13 @@ class MedallionPipeline:
         # bronze apply with the silver refresh.)
         affected = silver_plan.compute_affected(batch, self.n_buckets)
         affected.dense = self._dense_batch(affected)
-        # The turn-level silver refresh can derive its inputs from the
-        # PRE-apply bronze snapshot overlaid with the batch winners
-        # (associative max-by dedup), so bronze and silver commit
-        # concurrently on two driver threads — their epoch guards keep
-        # every crash interleaving resumable (bronze-behind-silver
+        # The silver refresh (turn OR per-conversation) can derive its
+        # inputs from the PRE-apply bronze snapshot overlaid with the
+        # batch winners (associative max-by dedup), so bronze and silver
+        # commit concurrently on two driver threads — their epoch guards
+        # keep every crash interleaving resumable (bronze-behind-silver
         # resumes by re-applying bronze and skipping silver).
-        overlap = (
-            self.overlap_layers
-            and (
-                self.layer_mode == "turn"
-                or (self.layer_mode == "auto" and not affected.dense)
-            )
-            and affected.buckets
-        )
+        overlap = bool(self.overlap_layers and affected.buckets)
         res: bronze_plan.ApplyResult | None = None
         if not overlap:
             res = _bronze()
@@ -406,16 +399,34 @@ class MedallionPipeline:
             else:
                 # Fresh silver rows for the affected conversations —
                 # computed ONCE and fed to both the silver write and
-                # (optionally) the gold summary agg.
-                if affected.buckets:
-                    enriched = silver_plan.build_enriched(
-                        self.bronze, affected, mega_conv_chunk=self.mega_conv_chunk
+                # (optionally) the gold summary agg. Under overlap they
+                # derive from pre-apply bronze ∪ batch winners, so this
+                # refresh runs concurrently with the bronze apply.
+                def _silver_conv():
+                    nonlocal enriched
+                    if affected.buckets:
+                        enriched = silver_plan.build_enriched(
+                            self.bronze, affected,
+                            mega_conv_chunk=self.mega_conv_chunk,
+                            overlay_batch=batch if overlap else None,
+                        )
+                        if self.summary is not None and self.persist_enriched:
+                            enriched = enriched.persist()
+                    silver_plan.refresh_silver_for_conversations(
+                        self.bronze, self.silver, affected, epoch=epoch,
+                        enriched=enriched,
                     )
-                    if self.summary is not None and self.persist_enriched:
-                        enriched = enriched.persist()
-                silver_plan.refresh_silver_for_conversations(
-                    self.bronze, self.silver, affected, epoch=epoch, enriched=enriched
-                )
+
+                if overlap:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        fb = pool.submit(_bronze)
+                        fs = pool.submit(_silver_conv)
+                        res = fb.result()
+                        fs.result()
+                else:
+                    _silver_conv()
             t2 = time.monotonic()
 
             # Only feed the cached frame to gold when it actually IS

@@ -335,6 +335,7 @@ def build_enriched(
     bronze_table: LakeTable,
     affected: AffectedSet,
     mega_conv_chunk: int | None = None,
+    overlay_batch: DataFrame | None = None,
 ) -> DataFrame:
     """Fresh silver rows for exactly the affected conversations, computed
     from FULL bronze state (G6 fix). Shared by the silver write AND the
@@ -343,18 +344,48 @@ def build_enriched(
     ``mega_conv_chunk``: when conversations can exceed ~10^5 turns, use
     the chunked two-phase window (bounded rows-per-task) at the cost of
     one extra small shuffle; the result is clustered by bucket afterward
-    so the write path keeps its exchange reuse."""
+    so the write path keeps its exchange reuse.
+
+    ``overlay_batch``: derive the post-apply state from the PRE-apply
+    snapshot overlaid with this batch's winners instead of reading the
+    committed result — max-by-(lsn, op_ordinal) dedup is associative,
+    so the overlay equals the post-apply resolve, tombstones stay
+    visible through it, and the silver refresh no longer depends on the
+    bronze COMMIT (the relay overlaps them on two driver threads)."""
     # Bronze and silver share the bucket transform, so the bronze scan
     # prunes to the same buckets; conv_id file bounds prune further.
     # read_merged resolves bronze MoR deltas when present (no-op for CoW).
-    from maritime_activity_reports_cdc_spark.operators.apply import read_merged
+    from maritime_activity_reports_cdc_spark.operators.apply import (
+        BUCKET_COL as _BK,
+        bucket_expr,
+        dedup_latest,
+        read_merged,
+    )
 
     # dense mode recomputes EVERY conversation of the buckets — the
     # batch's conv-span bounds must not prune the source scan
-    bronze_slice = read_merged(
-        bronze_table, affected.buckets,
-        bounds=None if affected.dense else affected.prune(),
-    )
+    if overlay_batch is not None:
+        n_buckets = int(bronze_table.properties()["n_buckets"])
+        raw = bronze_table.read_partitions(
+            affected.buckets,
+            bounds=None if affected.dense else affected.prune(),
+            deltas="include", tombstones="include",
+        )
+        winners = dedup_latest(overlay_batch).withColumn(
+            _BK, bucket_expr("conv_id", n_buckets)
+        )
+        # allowMissingColumns: either side may carry columns the other
+        # lacks (a batch introducing evolved columns, or table columns
+        # an older batch predates) — null-fill both ways so evolved
+        # values survive the overlay
+        bronze_slice = dedup_latest(
+            raw.unionByName(winners, allowMissingColumns=True)
+        ).where(F.col("op").isNull() | (F.col("op") != "D"))
+    else:
+        bronze_slice = read_merged(
+            bronze_table, affected.buckets,
+            bounds=None if affected.dense else affected.prune(),
+        )
     convs = affected.semi(bronze_slice)
     if mega_conv_chunk:
         enriched = enrich_conversations_chunked(convs, chunk_size=mega_conv_chunk)
