@@ -203,6 +203,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def session_segmentation(spark, sf):
+    """Gap-based sessionization (the classic transcript/event-stream
+    op): a new session starts when the gap to the previous event exceeds
+    30 minutes; session ids assign via a cumulative sum of session-start
+    flags, then per-session aggregates. Two windows + one groupBy —
+    no self-joins, no iteration."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = _epoch_us("ts") - F.lag(_epoch_us("ts")).over(w)
+    flagged = ev.withColumn(
+        "_new", F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    ).withColumn("session_idx", F.sum("_new").over(run).cast("long"))
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max(_epoch_us("ts")) - F.min(_epoch_us("ts"))).alias("duration_us"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+        )
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
 def transition_detection(spark, sf):
     """W3 change-point detection: event_type transitions per user."""
     ev = t(spark, sf, "events")
@@ -979,6 +1031,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dim_join_enrichment": QuerySpec(dim_join_enrichment, DIM_JOIN_SQL, "broadcast dim joins (J1/J5)"),
     "latest_event_per_user": QuerySpec(latest_event_per_user, LATEST_SQL, "argmax via row_number (W4/J3)"),
     "user_session_lag": QuerySpec(user_session_lag, LAG_SQL, "lag arithmetic (W1/W2)"),
+    "session_segmentation": QuerySpec(
+        session_segmentation, SESSION_SQL, "gap-based sessionization + per-session aggs"
+    ),
     "transition_detection": QuerySpec(transition_detection, TRANSITION_SQL, "change-point flags (W3)"),
     "rank_topk_customers": QuerySpec(rank_topk_customers, RANK_SQL, "rank + top-k (W6)"),
     "journey_sequencing": QuerySpec(journey_sequencing, JOURNEY_SQL, "lag rewrite of seq self-join (J4)"),
