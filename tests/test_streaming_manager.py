@@ -249,3 +249,59 @@ def test_watermarked_windowed_rollup_handles_late_rows(spark, tmp_path):
     assert got[(25, "user")] == (1, 0), "allowed-late row must land in minute 25"
     # the sentinel's own window is not final (nothing advanced past it)
     assert (0, "user") in got and (60, "user") not in got
+
+
+def test_stateful_session_stream_matches_batch_sessionization(spark, tmp_path):
+    """T5: applyInPandasWithState sessionization — per-user session
+    state carried across microbatches, sessions emitted when closed by
+    a data gap or an event-time timeout. Closed sessions must equal the
+    batch sessionization of the same events."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from maritime_activity_reports_cdc_spark.streaming.stateful import (
+        start_session_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ])
+    T0 = dt.datetime(2025, 8, 2, 9, 0, 0)
+
+    def ev(user, minute):
+        return (user, T0 + dt.timedelta(minutes=minute))
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # user 1: events at 0,5 then a 40-min gap then 45,50 (two sessions);
+    # user 2: one session 0..10
+    b1 = [ev(1, 0), ev(1, 5), ev(2, 0), ev(2, 10)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(feed)
+    q = start_session_stream(spark, feed, schema, out, ck, watermark="1 minute")
+    q.awaitTermination(180)
+
+    # second batch: user 1 returns after the gap; a sentinel far in the
+    # future advances the watermark so the event-time timeouts fire and
+    # close everything still open
+    b2 = [ev(1, 45), ev(1, 50), ev(3, 600)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(feed)
+    q2 = start_session_stream(spark, feed, schema, out, ck, watermark="1 minute")
+    q2.awaitTermination(180)
+    # third trigger with a fresh sentinel so batch-2 sessions time out too
+    b3 = [ev(4, 2000)]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(feed)
+    q3 = start_session_stream(spark, feed, schema, out, ck, watermark="1 minute")
+    q3.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start.minute, r.session_end.minute): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, 0, 5)] == 2      # closed by the 40-min gap
+    assert got[(1, 45, 50)] == 2    # closed by event-time timeout
+    assert got[(2, 0, 10)] == 2     # closed by timeout
+    assert len([k for k in got if k[0] == 1]) == 2
