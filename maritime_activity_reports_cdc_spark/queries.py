@@ -945,6 +945,58 @@ SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk 
 ANN_BANDED_SQL = _ann_banded_sql()
 
 
+def ann_ivf_topk(spark, sf):
+    """IVF (cell-probe) approximate neighbors: vectors partition by
+    nearest deterministic seed centroid, queries probe their 4 closest
+    of 16 cells. The quantizer is pure column algebra, so the whole
+    pipeline — centroid choice, cell assignment, probe, exact scoring —
+    reproduces in DuckDB."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
+ANN_IVF_SQL = """
+WITH elems AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT GREATEST((SELECT COUNT(*) FROM elems) // 16, 1) AS stride
+), cent AS (
+  SELECT vec_id // (SELECT stride FROM s) AS cell, e AS cvec
+  FROM elems
+  WHERE vec_id % (SELECT stride FROM s) = 0
+    AND vec_id // (SELECT stride FROM s) < 16
+), vassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT el.vec_id, c.cell,
+           row_number() OVER (PARTITION BY el.vec_id
+             ORDER BY list_cosine_similarity(el.e, c.cvec) DESC, c.cell) AS crk
+    FROM elems el CROSS JOIN cent c
+  ) WHERE crk = 1
+), qassign AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT el.vec_id, c.cell,
+           row_number() OVER (PARTITION BY el.vec_id
+             ORDER BY list_cosine_similarity(el.e, c.cvec) DESC, c.cell) AS crk
+    FROM elems el CROSS JOIN cent c
+    WHERE el.vec_id < 10
+  ) WHERE crk <= 4
+), cand AS (
+  SELECT q.qid, v.vec_id AS nid
+  FROM qassign q JOIN vassign v ON v.cell = q.cell AND v.vec_id <> q.qid
+), scored AS (
+  SELECT c.qid, c.nid, list_cosine_similarity(eq.e, ev.e) AS sim
+  FROM cand c JOIN elems eq ON eq.vec_id = c.qid JOIN elems ev ON ev.vec_id = c.nid
+), r AS (
+  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM scored
+)
+SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk <= 5
+"""
+
+
 def knn_classify_embeddings(spark, sf):
     emb = t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -1060,6 +1112,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL, "LSH-bucketed approximate top-k"),
     "ann_banded_topk": QuerySpec(
         ann_banded_topk, ANN_BANDED_SQL, "banded (OR-amplified) LSH approximate top-k"
+    ),
+    "ann_ivf_topk": QuerySpec(
+        ann_ivf_topk, ANN_IVF_SQL, "IVF cell-probe approximate top-k"
     ),
     "knn_classify_embeddings": QuerySpec(knn_classify_embeddings, KNN_SQL, "kNN majority-label classify"),
 }

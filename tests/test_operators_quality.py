@@ -178,6 +178,28 @@ def test_multi_probe_raises_recall_at_fixed_bands(spark):
     assert r2 >= 0.9
 
 
+def test_ivf_recall_rises_with_probes(spark):
+    """IVF cell-probe ANN: recall must rise with n_probe, sims are the
+    true cosine values, and probing every list recovers brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = {(r.qid, r.nid) for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(n_probe):
+        got = {
+            (r.qid, r.nid)
+            for r in SIM.ivf_topk(emb, q, k=5, n_lists=16, n_probe=n_probe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16
+    assert r16 == 1.0, "probing all lists must recover brute force"
+    assert r4 >= 0.5
+
+
 def test_multimodal_feature_plumbing(spark):
     media = MM.generate_fake_media(spark, n=48)
     feats = MM.extract_features(media)
