@@ -379,6 +379,56 @@ def ivf_topk(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    min_cosine: float = 0.95,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup strategy for
+    content whose duplicates are SEMANTIC (paraphrases, re-encodes)
+    rather than textual. Candidates via the banded hyperplane signatures
+    (ANY band match — the same OR-amplification as minhash LSH; at the
+    high-cosine regime a near-dup pair collides with probability
+    ~1-(1-(1-θ/π)^r)^b ≈ 1 for θ ≈ 0), then exact cosine filters at the
+    threshold. Returns (id_a, id_b, cosine) with id_a < id_b — never an
+    all-pairs product."""
+    sig = hyperplane_band_signatures(
+        vectors, id_col, vec_col, bands, rows_per_band, hash_fn=hash_fn
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = vectors.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b"
+        )
+        .select(
+            "id_a", "id_b", cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+    )
+    return scored.where(F.col("cosine") >= min_cosine).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def knn_classify(
     vectors: DataFrame,
     queries: DataFrame,

@@ -945,6 +945,66 @@ SELECT qid, nid, CAST(rk AS BIGINT) AS rk, ROUND(sim, 4) AS sim FROM r WHERE rk 
 ANN_BANDED_SQL = _ann_banded_sql()
 
 
+def embedding_neardup_docs(spark, sf):
+    """Embedding-cosine near-duplicate pairs (semantic dedup): banded
+    hyperplane candidates (md5_48-signed, DuckDB-reproducible) filtered
+    at the cosine threshold. Completes the dedup family: exact, n-gram
+    jaccard, minhash, simhash, and now embedding-space."""
+    emb = t(spark, sf, "embeddings")
+    return SIM.embedding_neardup_pairs(
+        emb, min_cosine=0.4, bands=8, rows_per_band=3, hash_fn="md5_48"
+    )
+
+
+def _emb_neardup_sql(bands: int = 8, rows_per_band: int = 3, seed: int = 7,
+                     min_cosine: float = 0.4) -> str:
+    n_planes = bands * rows_per_band
+    sign = lambda p: (  # noqa: E731
+        f"CASE WHEN ('0x' || substr(md5({seed} || ':' || {p} || ':' || d), 1, 12))::BIGINT"
+        f" % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    dots = ",\n         ".join(
+        f"SUM(x * {sign(p)}) AS dot{p}" for p in range(n_planes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"((CASE WHEN dot{b * rows_per_band + d} > 0 THEN 1 ELSE 0 END)::BIGINT"
+            f" << {rows_per_band - 1 - d})"
+            for d in range(rows_per_band)
+        )
+        band_exprs.append(f"({bits}) AS b{b}")
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band_idx, b{b} AS band_sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), ex AS (
+  SELECT vec_id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS x FROM elems
+), dots AS (
+  SELECT vec_id, {dots}
+  FROM ex GROUP BY vec_id
+), sigs AS (
+  SELECT vec_id, {', '.join(band_exprs)} FROM dots
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON b.band_idx = a.band_idx AND b.band_sig = a.band_sig AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.e, eb.e) AS cosine
+  FROM cand c JOIN elems ea ON ea.vec_id = c.id_a JOIN elems eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(cosine, 4) AS cosine FROM scored WHERE cosine >= {min_cosine}
+"""
+
+
+EMB_NEARDUP_SQL = _emb_neardup_sql()
+
+
 def ann_ivf_topk(spark, sf):
     """IVF (cell-probe) approximate neighbors: vectors partition by
     nearest deterministic seed centroid, queries probe their 4 closest
@@ -1115,6 +1175,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_ivf_topk": QuerySpec(
         ann_ivf_topk, ANN_IVF_SQL, "IVF cell-probe approximate top-k"
+    ),
+    "embedding_neardup_docs": QuerySpec(
+        embedding_neardup_docs, EMB_NEARDUP_SQL, "embedding-cosine near-dup pairs"
     ),
     "knn_classify_embeddings": QuerySpec(knn_classify_embeddings, KNN_SQL, "kNN majority-label classify"),
 }

@@ -200,6 +200,33 @@ def test_ivf_recall_rises_with_probes(spark):
     assert r4 >= 0.5
 
 
+def test_embedding_neardup_finds_planted_duplicates(spark):
+    """Semantic dedup: planted near-identical embeddings (same vector ±
+    tiny deterministic noise) must pair at a high cosine threshold;
+    unrelated random vectors must not."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant: copy of each of the first 10 vectors with 0.1% perturbation
+    planted = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: x * (1.0 + F.when(i % 2 == 0, 0.001).otherwise(-0.001))
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_neardup_pairs(corpus, min_cosine=0.98).collect()
+    }
+    for i in range(10):
+        assert (i, i + 100000) in pairs, f"planted near-dup {i} missed"
+    # nothing else in the random corpus sits at cosine >= 0.98
+    assert len(pairs) == 10
+
+
 def test_multimodal_feature_plumbing(spark):
     media = MM.generate_fake_media(spark, n=48)
     feats = MM.extract_features(media)
