@@ -696,6 +696,50 @@ HAVING COUNT(*) * 1.0 / (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.03
 """
 
 
+def corpus_dedup_pipeline(spark, sf):
+    """The composed training-data cleaning flow a corpus pipeline runs
+    before tokenization: exact dedup (keep the lowest doc_id per
+    normalized-content group) THEN near-dup removal among the exact
+    keepers (minhash-LSH candidates at jaccard_est >= 0.7; the higher id
+    of each candidate pair drops — deterministic without a
+    connected-components pass). Returns the surviving documents with
+    their provenance columns."""
+    docs = t(spark, sf, "documents")
+    keepers = DD.exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    kept_docs = docs.join(keepers, "doc_id")
+    near = DD.minhash_lsh_candidates(
+        kept_docs, n_hashes=64, bands=16, min_jaccard_est=0.7, hash_fn="md5_48"
+    )
+    dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        kept_docs.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _corpus_dedup_sql() -> str:
+    # exact keepers, then the generated banded-minhash SQL embedded as a
+    # subquery with its document source swapped to the keeper set; every
+    # near-dup pair's id_b drops
+    near = _minhash_sql(min_est=0.7).replace("FROM documents", "FROM kept")
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+), kept AS (
+  SELECT d.* FROM documents d JOIN keepers k USING (doc_id)
+)
+SELECT k.doc_id, k.lang, k.source, k.n_chars
+FROM kept k
+WHERE k.doc_id NOT IN (SELECT id_b FROM ({near}) nd)
+"""
+
+
 def minhash_lsh_docs(spark, sf):
     """MinHash+LSH near-dup candidates, md5_48-hashed so the full
     shingle->signature->band->bucket-join pipeline is DuckDB-verifiable
@@ -1178,6 +1222,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_neardup_docs": QuerySpec(
         embedding_neardup_docs, EMB_NEARDUP_SQL, "embedding-cosine near-dup pairs"
+    ),
+    "corpus_dedup_pipeline": QuerySpec(
+        corpus_dedup_pipeline, _corpus_dedup_sql(),
+        "composed cleaning flow: exact dedup then near-dup removal"
     ),
     "knn_classify_embeddings": QuerySpec(knn_classify_embeddings, KNN_SQL, "kNN majority-label classify"),
 }
