@@ -327,17 +327,30 @@ def minhash_lsh_candidates(
     hot_pairs = _raw_pairs(
         a_repl, b_salted, [F.col("a._salt") == F.col("b._salt")]
     )
-    pairs = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
-    est = (
-        pairs.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a")
-        .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
-        .withColumn(
-            "jaccard_est",
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
-            / F.lit(float(n_hashes)),
+    try:
+        pairs = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+        est = (
+            pairs.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a")
+            .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
+            .withColumn(
+                "jaccard_est",
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+                / F.lit(float(n_hashes)),
+            )
         )
-    )
-    return est.where(F.col("jaccard_est") >= min_jaccard_est).select("id_a", "id_b", "jaccard_est")
+        out = est.where(F.col("jaccard_est") >= min_jaccard_est).select(
+            "id_a", "id_b", "jaccard_est"
+        )
+        # Materialize the (small, threshold-filtered) candidate set eagerly
+        # so the cached signature/band frames can be released HERE instead
+        # of leaking for the session (repeated salted calls were
+        # accumulating executor-cached blocks). The checkpointed result is
+        # bounded by the candidate pair count and is cleaned up by Spark's
+        # ContextCleaner once the returned frame is unreachable.
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
+        banded.unpersist()
 
 
 def _pmod_salt(col: str, n_salts: int) -> F.Column:

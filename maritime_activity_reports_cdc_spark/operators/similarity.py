@@ -323,24 +323,33 @@ def ivf_topk(
     closest cells. Recall/cost trade via n_probe (probe all lists =
     exact).
 
-    Centroids here are DETERMINISTIC seed samples (every
-    floor(N/n_lists)-th vector by id) rather than Lloyd-iterated
-    k-means: assignment stays a pure column computation reproducible in
-    any SQL engine (the DuckDB oracle runs the identical quantizer), and
-    at 100 TB the refinement step is an offline concern — swap in
-    trained centroids without touching this plan. Shapes: assignment is
-    a broadcast join against n_lists centroids (no shuffle of the
+    Centroids here are DETERMINISTIC seed samples rather than
+    Lloyd-iterated k-means: the id RANGE is split into ``n_lists``
+    equal-width strips and each strip's minimum id becomes a centroid —
+    id-layout independent (filtered / non-contiguous id spaces still
+    yield centroids; a prior modular scheme assumed dense ids from 0 and
+    could silently produce zero centroids), pure column algebra, and
+    reproducible in any SQL engine (the DuckDB oracle runs the identical
+    quantizer). At 100 TB the refinement step is an offline concern —
+    swap in trained centroids without touching this plan. Shapes: one
+    thin min/max agg + one tiny groupBy seed the centroids; assignment
+    is a broadcast join against <= n_lists centroids (no shuffle of the
     vectors beyond the cell grouping); the probe is an equi-join on the
     cell id. Returns (qid, nid, rk, sim)."""
-    n = vectors.count()
-    stride = max(n // n_lists, 1)
+    lo, hi = vectors.agg(F.min(id_col), F.max(id_col)).collect()[0]
+    if lo is None:
+        raise ValueError("ivf_topk: vectors frame is empty — no centroids")
+    span = int(hi) - int(lo) + 1
+    # strip index via exact integer division (bit-identical to DuckDB //)
+    strip = F.expr(f"(({id_col} - {int(lo)}) * {int(n_lists)}) div {span}")
+    cent_ids = (
+        vectors.groupBy(strip.alias("_cell"))
+        .agg(F.min(id_col).alias("_cid"))
+    )
     cent = (
-        vectors.withColumn("_rk", F.col(id_col) % F.lit(stride))
-        .where((F.col("_rk") == 0) & (F.col(id_col) / F.lit(stride) < n_lists))
-        .select(
-            (F.col(id_col) / F.lit(stride)).cast("long").alias("_cell"),
-            F.col(vec_col).alias("_cvec"),
-        )
+        vectors.join(
+            F.broadcast(cent_ids), F.col(id_col) == F.col("_cid")
+        ).select(F.col("_cell"), F.col(vec_col).alias("_cvec"))
     )
     # cell assignment: argmax cosine over the (broadcast) centroid set
     def _assign(df: DataFrame, idc: str, vc: str, out: str) -> DataFrame:

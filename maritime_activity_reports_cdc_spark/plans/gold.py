@@ -260,6 +260,19 @@ def refresh_daily_via_index(
         months_set = {r[0] for r in src.distinct().collect()}
     months = sorted(months_set)
 
+    if index_table.last_epoch(index_source) >= epoch:
+        # Same-process retry after the index committed but the daily did
+        # not: the discovery above ran against the already-replaced index
+        # and can miss vacated months (e.g. a delete-only epoch leaves no
+        # index row behind). The index commit recorded the exact month
+        # set it replaced — replay that set for the daily recompute. (If
+        # another commit landed on the index since, the recorded summary
+        # is gone and the pipeline's behind-detection full rebuild covers
+        # recovery, as before.)
+        isnap = index_table.snapshot()
+        if isnap.epochs.get(index_source) == epoch and "months" in isnap.summary:
+            months = sorted(set(months) | set(isnap.summary["months"]))
+
     if not months:
         if index_table.last_epoch(index_source) < epoch:
             index_table.commit_epoch_noop(index_source, epoch, {"rows": 0})
@@ -299,7 +312,9 @@ def refresh_daily_via_index(
         # just-committed partitions (or recomputing the silver agg)
         merged = merged.persist()
         index_table.replace_partitions(
-            merged, summary={"source": index_source},
+            # months recorded so a same-process retry (crash between the
+            # two commits) can replay the exact replaced set — see above
+            merged, summary={"source": index_source, "months": months},
             epoch=(index_source, epoch), partition_values=months,
         )
     try:

@@ -1065,13 +1065,14 @@ def ann_ivf_topk(spark, sf):
 ANN_IVF_SQL = """
 WITH elems AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), s AS (
-  SELECT GREATEST((SELECT COUNT(*) FROM elems) // 16, 1) AS stride
+), b AS (
+  SELECT MIN(vec_id) AS lo, MAX(vec_id) - MIN(vec_id) + 1 AS span FROM elems
+), cent_ids AS (
+  SELECT ((vec_id - (SELECT lo FROM b)) * 16) // (SELECT span FROM b) AS cell,
+         MIN(vec_id) AS cid
+  FROM elems GROUP BY 1
 ), cent AS (
-  SELECT vec_id // (SELECT stride FROM s) AS cell, e AS cvec
-  FROM elems
-  WHERE vec_id % (SELECT stride FROM s) = 0
-    AND vec_id // (SELECT stride FROM s) < 16
+  SELECT ci.cell, e.e AS cvec FROM cent_ids ci JOIN elems e ON e.vec_id = ci.cid
 ), vassign AS (
   SELECT vec_id, cell FROM (
     SELECT el.vec_id, c.cell,

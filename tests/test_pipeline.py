@@ -122,6 +122,50 @@ def test_delete_only_epoch_shrinks_daily_rollup(spark, tmp_path, tiny_batch):
     assert not p.conv_dates.snapshot().files.get("2025-04")
 
 
+def test_daily_retry_after_crash_between_index_and_daily_commits(
+    spark, tmp_path, tiny_batch, monkeypatch
+):
+    """Same-process retry of an epoch whose index commit landed but whose
+    daily commit did not: month discovery then runs against the already-
+    replaced index and would miss vacated months — the index commit's
+    recorded month list must be replayed instead (round-3 review
+    finding)."""
+    p = MedallionPipeline.create(spark, str(tmp_path / "m"), n_buckets=4)
+    day2 = dt.datetime(2025, 4, 2, 9, 0, 0)
+    extra = [("I", 6, 0, T0, "cC", 0, "user", "next month text", None, day2)]
+    p.apply_epoch(
+        tiny_batch.unionByName(spark.createDataFrame(extra, CHANGE_SCHEMA)), epoch=0
+    )
+
+    real = p.daily.replace_partitions
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected daily-commit crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(p.daily, "replace_partitions", flaky)
+
+    # delete-only epoch vacating 2025-04: its month is discoverable only
+    # BEFORE the index replace (D rows carry no ts)
+    delete_only = [("D", 10, 0, T0, "cC", 0, None, None, None, None)]
+    batch1 = spark.createDataFrame(delete_only, CHANGE_SCHEMA)
+    with pytest.raises(RuntimeError, match="injected"):
+        p.apply_epoch(batch1, epoch=1)
+    assert p.conv_dates.last_epoch("gold_conv_dates") == 1
+    assert p.daily.last_epoch("gold_daily") == 0
+
+    # same-process retry: bronze/silver skip idempotently; the derived
+    # flush replays the recorded month set and drops the vacated date
+    p.apply_epoch(batch1, epoch=1)
+    assert p.daily.last_epoch("gold_daily") == 1
+    daily2 = {r.business_date: r for r in p.daily.read().collect()}
+    assert dt.date(2025, 4, 2) not in daily2
+    assert daily2[dt.date(2025, 3, 1)].n_turns == 5
+
+
 def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
     changes = generate_transcript_changes(
         spark, n_conversations=30, turns_per_conv=8, update_ratio=0.3,
