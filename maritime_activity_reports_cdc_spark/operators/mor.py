@@ -99,26 +99,42 @@ def append_generation(
 
 
 def resolve_generations(
-    base: DataFrame, delta: DataFrame, group_cols: list[str], split: bool = True
+    base: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    split: bool = True,
+    base_below_deltas: bool = False,
 ) -> DataFrame:
     """Winning-generation rows of base ∪ delta, markers dropped.
 
     ``split=True``: the base is never shuffled — only groups that appear
     in the (small, compaction-bounded) delta set are contested;
-    everything else passes through with a broadcast anti-join, and the
-    per-group max-generation window runs over O(delta footprint) rows.
-    ``split=False``: one scan + one resolve over everything — cheaper
-    when the delta backlog covers most groups (the caller decides from
-    snapshot stats, see read_resolved).
+    everything else passes through with a broadcast anti-join.
+    ``split=False``: the delta backlog covers most groups (the caller
+    decides from snapshot stats, see read_resolved).
+
+    ``base_below_deltas``: every delta generation postdates every base
+    generation — guaranteed by construction for tables maintained via
+    ``append_generation`` + compaction/overwrite (compaction at epoch E
+    folds ALL outstanding deltas, so any later delta carries a higher
+    epoch than anything in the base), and PROVEN per call from the
+    per-file ``_gen`` footer bounds (``read_resolved``). Under the
+    invariant a contested group's winner comes from the DELTA ALONE —
+    base rows only ever need a key-MEMBERSHIP filter, never a
+    max-generation computation, so the fat base rows pass through ZERO
+    exchanges in BOTH regimes:
+
+    - split=True: base anti-joins the (small) contested key set.
+    - split=False: the small set is the UNcontested groups — computed
+      THIN (base group-keys anti delta group-keys; only the group
+      columns shuffle, the parquet scan is column-pruned to them) and
+      broadcast back as a semi-join on the fat base. Previously this
+      regime shuffled the whole fat slice through the max_by dedup.
 
     The max-generation-per-group is computed as a groupBy aggregate
     (map-side partial max) joined back, NOT a window: a window
     partitioned by the group serializes a hot group — one 10^6-turn
-    contested conversation = one task buffering 10^6 rows. With the
-    aggregate, the broadcast-join resolve (split=True) never shuffles
-    the contested rows at all (pure map-side filter), and the
-    split=False path shuffles but performs no per-group buffering
-    beyond the join sort."""
+    contested conversation = one task buffering 10^6 rows."""
 
     def _resolve(df: DataFrame, broadcast_maxg: bool) -> DataFrame:
         maxg = df.groupBy(*group_cols).agg(F.max(GEN_COL).alias("_maxg"))
@@ -130,11 +146,27 @@ def resolve_generations(
             .drop("_maxg")
         )
 
-    if not split:
-        # backlog covers most groups: maxg is one row per group of the
-        # whole slice — too big to broadcast at scale, shuffle-join it
-        return _resolve(base.unionByName(delta), broadcast_maxg=False)
     contested_keys = delta.select(*group_cols).distinct()
+    if base_below_deltas:
+        # winners among deltas only: O(backlog) rows; maxg broadcasts
+        # when the backlog is compaction-bounded (split), else the
+        # delta — never the base — shuffle-joins its own maxg
+        winners = _resolve(delta, broadcast_maxg=split)
+        if split:
+            clean = base.join(F.broadcast(contested_keys), group_cols, "left_anti")
+        else:
+            uncontested = (
+                base.select(*group_cols)
+                .distinct()
+                .join(contested_keys, group_cols, "left_anti")
+            )
+            clean = base.join(F.broadcast(uncontested), group_cols, "left_semi")
+        return clean.unionByName(winners)
+    if not split:
+        # invariant unprovable (direct writer / missing stats): maxg is
+        # one row per group of the whole slice — too big to broadcast at
+        # scale, shuffle-join it over base ∪ delta
+        return _resolve(base.unionByName(delta), broadcast_maxg=False)
     clean = base.join(F.broadcast(contested_keys), group_cols, "left_anti")
     contested = base.join(F.broadcast(contested_keys), group_cols, "left_semi").unionByName(
         delta
@@ -143,6 +175,30 @@ def resolve_generations(
     # broadcast contested_keys) -> maxg broadcasts, contested rows are
     # filtered in place with NO shuffle
     return clean.unionByName(_resolve(contested, broadcast_maxg=True))
+
+
+def _base_below_deltas(snap, values) -> bool:
+    """True when the recorded per-file ``_gen`` bounds PROVE every delta
+    generation postdates every base generation for the scanned
+    partitions (an empty base side counts as proven). Files without
+    ``_gen`` stats make the answer conservative — False routes to the
+    general resolve, which is always correct."""
+    base_hi = None
+    delta_lo = None
+    for v in map(str, values):
+        for f in snap.files.get(v, []):
+            entry = (snap.file_stats.get(f) or {}).get(GEN_COL)
+            if not isinstance(entry, list):
+                return False
+            base_hi = entry[1] if base_hi is None else max(base_hi, entry[1])
+        for f in snap.delta_files.get(v, []):
+            entry = (snap.file_stats.get(f) or {}).get(GEN_COL)
+            if not isinstance(entry, list):
+                return False
+            delta_lo = entry[0] if delta_lo is None else min(delta_lo, entry[0])
+    if delta_lo is None:
+        return False
+    return base_hi is None or base_hi < delta_lo
 
 
 def read_resolved(
@@ -183,7 +239,8 @@ def read_resolved(
         return base
     delta = _prj(table.read_partitions(values, deltas="only"))
     return resolve_generations(
-        base, delta, group_cols, split=_delta_fraction_small(snap, values)
+        base, delta, group_cols, split=_delta_fraction_small(snap, values),
+        base_below_deltas=_base_below_deltas(snap, values),
     )
 
 
@@ -198,7 +255,10 @@ def compact_generations(
         return False
     base = table.read_partitions(buckets)
     delta = table.read_partitions(buckets, deltas="only")
-    resolved = resolve_generations(base, delta, group_cols)
+    resolved = resolve_generations(
+        base, delta, group_cols,
+        base_below_deltas=_base_below_deltas(table.snapshot(), buckets),
+    )
     table.replace_partitions(
         resolved,
         summary={"operation_kind": "gen-compaction", **(summary or {})},

@@ -114,7 +114,8 @@ def create_summary_table(
         spark, path, SUMMARY_SCHEMA, partition_by=BUCKET_COL,
         properties={
             "n_buckets": n_buckets,
-            "stats_cols": ["conv_id"],
+            # _gen bounds (gen-MoR) prove the base-below-deltas invariant
+            "stats_cols": ["conv_id"] + (["_gen"] if layer_mode == "mor" else []),
             "layer_mode": layer_mode,
         },
     )
@@ -129,9 +130,13 @@ def create_daily_table(
     # flush that touches hundreds of them (see DAILY_SCHEMA). Refresh
     # replaces whole months (CoW) or appends generation-tagged rows
     # resolved on read (MoR).
-    return LakeTable.create(spark, path, DAILY_SCHEMA, partition_by="business_month",
-                            properties={"layer_mode": layer_mode,
-                                        "stats_cols": ["business_date"]})
+    return LakeTable.create(
+        spark, path, DAILY_SCHEMA, partition_by="business_month",
+        properties={
+            "layer_mode": layer_mode,
+            "stats_cols": ["business_date"] + (["_gen"] if layer_mode == "mor" else []),
+        },
+    )
 
 
 def _month(col) -> F.Column:

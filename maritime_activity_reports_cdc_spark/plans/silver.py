@@ -72,8 +72,10 @@ def create_silver_table(
     whole-bucket rewrite — see MedallionPipeline)."""
     props = {
         "n_buckets": n_buckets,
-        # ts bounds let the daily-rollup refresh prune to affected dates
-        "stats_cols": ["conv_id", "ts"],
+        # ts bounds let the daily-rollup refresh prune to affected dates;
+        # _gen bounds (gen-MoR) prove the base-below-deltas invariant so
+        # the resolve never shuffles the fat base (mor._base_below_deltas)
+        "stats_cols": ["conv_id", "ts"] + (["_gen"] if layer_mode == "mor" else []),
         "layer_mode": layer_mode,
     }
     if layer_mode in ("turn", "auto"):

@@ -243,6 +243,110 @@ def test_auto_layer_mode_matches_cow_and_flips_plans(spark, tmp_path):
         df.unpersist()
 
 
+def _fat_shuffles(df, fat_col):
+    """(outputs, scan_root_paths) for every SHUFFLE exchange in the
+    physical plan whose output carries ``fat_col`` (broadcast exchanges
+    excluded — broadcasting thin sides is the point). Scan locations are
+    read from the scan nodes' file index (treeString truncates long
+    paths). The caller must have AQE disabled BEFORE the frame's plan is
+    first materialized — an AdaptiveSparkPlan root hides its subtree
+    from children() and the walk would vacuously find nothing."""
+    plan = df._jdf.queryExecution().executedPlan()
+    assert "AdaptiveSparkPlan" not in plan.nodeName(), "disable AQE first"
+    hits = []
+
+    def scan_paths(n, acc):
+        if n.nodeName().startswith("Scan"):
+            roots = n.relation().location().rootPaths()
+            for i in range(roots.size()):
+                acc.append(roots.apply(i).toString())
+        ch = n.children()
+        for i in range(ch.size()):
+            scan_paths(ch.apply(i), acc)
+        return acc
+
+    def walk(n):
+        if n.nodeName() == "Exchange":
+            outs = [n.output().apply(i).name() for i in range(n.output().size())]
+            if fat_col in outs:
+                hits.append((outs, scan_paths(n, [])))
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return hits
+
+
+def test_gen_resolve_never_shuffles_fat_base(spark, tmp_path):
+    """Under the proven base-below-deltas invariant the fat base rows
+    must pass through ZERO shuffle exchanges in BOTH resolve regimes:
+    split=True anti-joins the broadcast contested set; split=False
+    (backlog covers most groups) computes the SMALL uncontested set thin
+    and broadcasts it back as a semi-join. The only permitted fat
+    shuffle is the delta side's own maxg join (O(backlog) by contract).
+    Outputs must equal the general resolve on the same inputs."""
+    from maritime_activity_reports_cdc_spark.operators.mor import resolve_generations
+
+    fat = "x" * 2000
+    base_rows = [(f"g{i:03d}", t, fat, 1, 1) for i in range(40) for t in range(3)]
+    # deltas touch 30 of 40 groups (backlog covers most groups), two
+    # generations, one group refreshed to nothing (marker only)
+    delta_rows = []
+    for i in range(30):
+        delta_rows.append((f"g{i:03d}", 0, None, 2, 0))  # gen-2 marker
+        if i != 7:
+            for t in range(2):
+                delta_rows.append((f"g{i:03d}", t, fat + "v2", 2, 1))
+    for i in range(5):  # second generation on a few groups
+        delta_rows.append((f"g{i:03d}", 0, None, 3, 0))
+        delta_rows.append((f"g{i:03d}", 0, fat + "v3", 3, 1))
+    schema = "grp string, turn int, text string, _gen long, _rank int"
+    spark.createDataFrame(base_rows, schema).write.parquet(str(tmp_path / "base_data"))
+    spark.createDataFrame(delta_rows, schema).write.parquet(str(tmp_path / "delta_data"))
+    base = spark.read.parquet(str(tmp_path / "base_data"))
+    delta = spark.read.parquet(str(tmp_path / "delta_data"))
+
+    # auto-broadcast off: at test scale Catalyst would broadcast sides
+    # whose at-scale estimates exceed the threshold — only the EXPLICIT
+    # broadcast hints (the plan contract under test) may remain. AQE off
+    # so executed plans stay walkable (see _fat_shuffles).
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        general = resolve_generations(
+            base, delta, ["grp"], split=False, base_below_deltas=False
+        )
+        expected = sorted(
+            (r.grp, r.turn, r.text) for r in general.collect()
+        )
+        for split in (True, False):
+            fast = resolve_generations(
+                base, delta, ["grp"], split=split, base_below_deltas=True
+            )
+            got = sorted((r.grp, r.turn, r.text) for r in fast.collect())
+            assert got == expected, f"fast resolve diverged (split={split})"
+            hits = _fat_shuffles(fast, "text")
+            for outs, paths in hits:
+                assert not any("base_data" in p for p in paths), (
+                    f"fat base rows shuffled (split={split}): {outs}"
+                )
+            if split:
+                assert not hits, "split=True must have ZERO fat shuffles"
+        # sanity: the general split=False resolve DOES shuffle the fat
+        # base — the assertion above is meaningful
+        assert any(
+            "base_data" in p
+            for _o, paths in _fat_shuffles(general, "text")
+            for p in paths
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+
+
 def test_overlap_turn_refresh_no_resurrection_on_stale_update(spark, tmp_path):
     """With bronze/silver overlapped, the turn refresh derives state from
     the PRE-apply snapshot overlaid with batch winners. A batch carrying
