@@ -257,7 +257,15 @@ def banded_lsh_topk(
 
     Shape: bucketed equi-join on (band_idx, band_sig) — never a cross
     product; candidate pairs dedup, then one exact-cosine scoring pass
-    over the (small) candidate set. Returns (qid, nid, rk, sim)."""
+    over the (small) candidate set. Returns (qid, nid, rk, sim).
+
+    Hot-bucket note: the query side is BROADCAST (small by contract), so
+    vector rows stream through map tasks in storage order — a degenerate
+    (band_idx, band_sig) bucket does NOT concentrate into one task the
+    way a shuffle-bucketed self-join would (per-task output is bounded
+    by input-partition rows x per-band query multiplicity). Query sets
+    too large to broadcast are a different operator: route them through
+    the salted self-join shape of ``embedding_neardup_pairs``."""
     sig_v = hyperplane_band_signatures(
         vectors, id_col, vec_col, bands, rows_per_band, hash_fn=hash_fn
     )
@@ -396,6 +404,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_fn: str = "xxhash64",
+    skew_cap: int | None = None,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup strategy for
     content whose duplicates are SEMANTIC (paraphrases, re-encodes)
@@ -404,38 +414,95 @@ def embedding_neardup_pairs(
     high-cosine regime a near-dup pair collides with probability
     ~1-(1-(1-θ/π)^r)^b ≈ 1 for θ ≈ 0), then exact cosine filters at the
     threshold. Returns (id_a, id_b, cosine) with id_a < id_b — never an
-    all-pairs product."""
+    all-pairs product.
+
+    Hot-bucket skew (``skew_cap``): this operator exists precisely for
+    corpora HEAVY with semantic duplicates — and that workload collapses
+    those vectors into one (band_idx, band_sig) bucket per band, making
+    the self-join's pair generation quadratic inside a single task (AQE
+    can't split it: the blowup is join OUTPUT, its trigger is input
+    partition bytes). Same remedy and identical pair semantics as
+    ``dedup.minhash_lsh_candidates``: buckets larger than ``skew_cap``
+    get a deterministic b-side salt in [0, n_salts) with the a-side
+    replicated per salt, spreading each hot bucket's pair generation
+    over ``n_salts`` tasks; every cross-salt pair still forms exactly
+    once via id_a < id_b, so the result SET is unchanged (the oracle
+    stays bit-for-bit). Opt-in for the same measured reason as minhash:
+    detection + caching costs ~2x on clean corpora."""
     sig = hyperplane_band_signatures(
         vectors, id_col, vec_col, bands, rows_per_band, hash_fn=hash_fn
-    )
-    cand = (
-        sig.alias("a")
-        .join(
-            sig.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(id_col).alias("_id"), "band_idx", "band_sig")
+
+    def _raw_pairs(a_df: DataFrame, b_df: DataFrame, extra_on: list) -> DataFrame:
+        return (
+            a_df.alias("a")
+            .join(
+                b_df.alias("b"),
+                on=[
+                    F.col("a.band_idx") == F.col("b.band_idx"),
+                    F.col("a.band_sig") == F.col("b.band_sig"),
+                    F.col("a._id") < F.col("b._id"),
+                    *extra_on,
+                ],
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+
     vecs = vectors.select(F.col(id_col), F.col(vec_col))
-    scored = (
-        cand.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
+
+    def _score(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(
+                vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+                "id_a",
+            )
+            .join(
+                vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b",
+                cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+            )
         )
-        .join(
-            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b"
+        return scored.where(F.col("cosine") >= min_cosine).select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")
         )
-        .select(
-            "id_a", "id_b", cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine")
+
+    if skew_cap is None:
+        return _score(_raw_pairs(sig, sig, []).dropDuplicates(["id_a", "id_b"]))
+
+    # salted plan: the narrow banded frame feeds hot detection plus two
+    # join sides of both paths — persist it, release after the (small,
+    # threshold-filtered) result materializes (same cache discipline as
+    # the minhash salted path)
+    sig = sig.persist()
+    try:
+        hot = (
+            sig.groupBy("band_idx", "band_sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > skew_cap)
+            .select("band_idx", "band_sig", F.lit(True).alias("_hot"))
         )
-    )
-    return scored.where(F.col("cosine") >= min_cosine).select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
-    )
+        marked = sig.join(F.broadcast(hot), ["band_idx", "band_sig"], "left")
+        cold = marked.where(F.col("_hot").isNull()).drop("_hot")
+        hotr = marked.where(F.col("_hot").isNotNull()).drop("_hot")
+        b_salted = hotr.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_salts)).cast("int")
+        )
+        a_repl = hotr.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        pairs = (
+            _raw_pairs(cold, cold, [])
+            .unionByName(
+                _raw_pairs(a_repl, b_salted, [F.col("a._salt") == F.col("b._salt")])
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return _score(pairs).localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
 
 
 def knn_classify(
@@ -447,10 +514,34 @@ def knn_classify(
     label_col: str = "label",
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
+    method: str = "brute",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    probes: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Majority label among the exact top-k neighbors (ties -> smallest
-    label). Returns (qid, predicted_label)."""
-    topk = brute_force_topk(vectors, queries, k, id_col, vec_col, query_id_col, query_vec_col)
+    """Majority label among the top-k neighbors (ties -> smallest
+    label). Returns (qid, predicted_label).
+
+    ``method='brute'``: exact neighbors — O(Q x N), the correctness
+    baseline. ``method='banded'``: neighbors from the banded-LSH
+    candidate set with exact rescoring (``banded_lsh_topk``) — the
+    corpus-scale path: classification cost follows the bucketed
+    candidate join, recall tunes via bands/probes exactly as for ANN
+    search, and at high band budgets the candidate set covers the true
+    top-k so the predictions match the brute classifier (asserted in
+    pytest)."""
+    if method == "banded":
+        topk = banded_lsh_topk(
+            vectors, queries, k, bands, rows_per_band, id_col, vec_col,
+            query_id_col, query_vec_col, hash_fn=hash_fn, probes=probes,
+        )
+    elif method == "brute":
+        topk = brute_force_topk(
+            vectors, queries, k, id_col, vec_col, query_id_col, query_vec_col
+        )
+    else:
+        raise ValueError(f"unknown knn_classify method {method!r}")
     votes = (
         topk.join(vectors.select(F.col(id_col).alias("nid"), label_col), "nid")
         .groupBy("qid", label_col)

@@ -115,6 +115,52 @@ def test_minhash_lsh_salted_hot_bucket_same_pairs(spark):
     # so the count equality above exercised the salted path
 
 
+def test_embedding_neardup_salted_hot_bucket_same_pairs(spark):
+    """A block of near-identical embeddings — the exact workload semantic
+    dedup exists for — collapses into ONE (band_idx, band_sig) bucket per
+    band. The salted path must produce EXACTLY the same pair set as the
+    plain self-join (count + order-independent pair checksum) while
+    spreading each hot bucket's pair generation across n_salts tasks."""
+    from maritime_activity_reports_cdc_spark.operators import similarity as SIM
+
+    n_dup, n_rand, dim = 1500, 100, 16
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(dim)]).alias("embedding"),
+    )
+    rand = spark.range(n_dup, n_dup + n_rand).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), 1000) / 500.0 - 1.0)
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    corpus = dup.unionByName(rand)
+
+    def pair_sig(df):
+        # pmod keeps the order-independent checksum inside long range
+        # (a raw xxhash64 sum overflows under ANSI arithmetic)
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2**31))).alias("h"),
+        ).collect()[0]
+        return (r.n, r.h)
+
+    plain = SIM.embedding_neardup_pairs(
+        corpus, min_cosine=0.999, bands=4, rows_per_band=4
+    )
+    salted = SIM.embedding_neardup_pairs(
+        corpus, min_cosine=0.999, bands=4, rows_per_band=4, skew_cap=100, n_salts=8
+    )
+    ps, ss = pair_sig(plain), pair_sig(salted)
+    assert ps[0] == n_dup * (n_dup - 1) // 2, "identical block must fully pair"
+    assert ps == ss, "salted pair set diverged from plain"
+    # with the cap at 100, the 1500-vector bucket is hot by construction,
+    # so the equality above exercised the salted path end to end
+
+
 def test_gen_mor_hot_contested_conversation_resolves_without_window(spark, tmp_path):
     """A contested conversation with 10^5 turns in layer_mode='mor' must
     resolve without a per-group Window (which would buffer the whole
