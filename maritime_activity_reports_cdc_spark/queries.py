@@ -1126,6 +1126,79 @@ SELECT qid, label AS predicted_label FROM best WHERE b = 1
 """
 
 
+def knn_classify_ann(spark, sf):
+    """ANN-backed kNN classification: neighbors come from the banded-LSH
+    candidate set with exact rescoring (the corpus-scale path — the
+    brute-force classifier is O(Q x N)); majority vote over the top-k.
+    md5_48-signed planes keep the candidate set — and so the exact
+    predictions — DuckDB-reproducible."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.knn_classify(
+        emb, queries, k=10, method="banded", bands=6, rows_per_band=3,
+        hash_fn="md5_48",
+    )
+
+
+def _knn_ann_sql(bands: int = 6, rows_per_band: int = 3, seed: int = 7, k: int = 10) -> str:
+    n_planes = bands * rows_per_band
+    sign = lambda p: (  # noqa: E731
+        f"CASE WHEN ('0x' || substr(md5({seed} || ':' || {p} || ':' || d), 1, 12))::BIGINT"
+        f" % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    dots = ",\n         ".join(
+        f"SUM(x * {sign(p)}) AS dot{p}" for p in range(n_planes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"((CASE WHEN dot{b * rows_per_band + d} > 0 THEN 1 ELSE 0 END)::BIGINT"
+            f" << {rows_per_band - 1 - d})"
+            for d in range(rows_per_band)
+        )
+        band_exprs.append(f"({bits}) AS b{b}")
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band_idx, b{b} AS band_sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+), ex AS (
+  SELECT vec_id, generate_subscripts(e, 1) - 1 AS d, unnest(e) AS x FROM elems
+), dots AS (
+  SELECT vec_id, {dots}
+  FROM ex GROUP BY vec_id
+), sigs AS (
+  SELECT vec_id, {', '.join(band_exprs)} FROM dots
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, v.vec_id AS nid
+  FROM banded q JOIN banded v
+    ON v.band_idx = q.band_idx AND v.band_sig = q.band_sig AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT c.qid, c.nid, ev.label, list_cosine_similarity(eq.e, ev.e) AS sim
+  FROM cand c JOIN elems eq ON eq.vec_id = c.qid JOIN elems ev ON ev.vec_id = c.nid
+), r AS (
+  SELECT qid, nid, label, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM scored
+), votes AS (
+  SELECT qid, label, COUNT(*) AS c FROM r WHERE rk <= {k} GROUP BY qid, label
+), best AS (
+  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS b
+  FROM votes
+)
+SELECT qid, label AS predicted_label FROM best WHERE b = 1
+"""
+
+
+KNN_ANN_SQL = _knn_ann_sql()
+
+
 def left_join_null_handling(spark, sf):
     """J5/J7 + null-handling family: left join to a filtered dimension,
     coalesce the misses (reference left-join enrichment,
@@ -1229,4 +1302,8 @@ QUERIES: dict[str, QuerySpec] = {
         "composed cleaning flow: exact dedup then near-dup removal"
     ),
     "knn_classify_embeddings": QuerySpec(knn_classify_embeddings, KNN_SQL, "kNN majority-label classify"),
+    "knn_classify_ann": QuerySpec(
+        knn_classify_ann, KNN_ANN_SQL,
+        "ANN-backed kNN classify (banded candidates + exact rescoring)"
+    ),
 }
