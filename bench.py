@@ -111,44 +111,63 @@ def main() -> None:
             timings[f"cdc_replay_{label}"] = round(secs, 3)
             eps[label] = round(n_events / secs, 1)
 
-        # ---- sparse family: the production CDC regime -----------------
-        # Big maintained table + recency-skewed update epochs touching
-        # ~2% of conversations each. layer_mode='auto' routes these to
+        # ---- sparse families: the production CDC regime ---------------
+        # Big maintained table + recency-skewed update epochs touching a
+        # few % of conversations each. layer_mode='auto' routes these to
         # the turn-level O(batch) path; micro/bulk measures how well the
         # per-epoch cost amortizes, and the cow variant shows what
-        # whole-bucket rewrites would cost on the same feed.
+        # whole-bucket rewrites would cost on the same feed. Two
+        # sizings:
+        #   floor family (cdc_sparse_*): 3.2k-event epochs — deliberately
+        #     inside the per-epoch floor, measuring scheduling + commit
+        #     serial cost (comparable across rounds);
+        #   big family (cdc_sparse_big_*): >=1e5-event epochs — the
+        #     amortized regime production microbatches sit in, where the
+        #     micro/bulk ratio reflects the architecture, not the floor.
         from maritime_activity_reports_cdc_spark.operators.apply import rewrite_files
         from maritime_activity_reports_cdc_spark.sources.generator import (
             generate_sparse_update_epochs,
         )
 
-        sp_convs = int(os.environ.get("BENCH_SPARSE_CONVS", "20000"))
-        sp_turns = int(os.environ.get("BENCH_SPARSE_TURNS", "25"))
-        sp_epochs = int(os.environ.get("BENCH_SPARSE_EPOCHS", "6"))
-        load = generate_transcript_changes(
-            spark, n_conversations=sp_convs, turns_per_conv=sp_turns,
-            update_ratio=0.0, delete_ratio=0.0, seed=7,
-        )
-        load_path = os.path.join(work, "sparse_load")
-        load.write.parquet(load_path)
-        load = spark.read.parquet(load_path)
-        updates = generate_sparse_update_epochs(
-            spark, n_conversations=sp_convs, turns_per_conv=sp_turns,
-            n_epochs=sp_epochs, convs_per_epoch=sp_convs // 50,
-            updates_per_conv=8, delete_frac=0.05, window_frac=0.1, seed=7,
-        )
-        upd_path = os.path.join(work, "sparse_updates")
-        updates.write.parquet(upd_path)
-        updates = spark.read.parquet(upd_path)
-        n_sparse = updates.count()
+        from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
 
-        def _mk_lake(label: str, mode: str) -> str:
-            root = os.path.join(work, f"sparse_{label}")
-            pipe = MedallionPipeline.create(
-                spark, root, n_buckets=cpus, bronze_mode="mor",
-                compact_every=4, derived_every=2, layer_mode=mode,
+        def run_sparse_family(
+            prefix: str, sp_convs: int, sp_turns: int, sp_epochs: int,
+            convs_per_epoch: int, updates_per_conv: int,
+            compact_every: int = 4,
+        ) -> int:
+            load = generate_transcript_changes(
+                spark, n_conversations=sp_convs, turns_per_conv=sp_turns,
+                update_ratio=0.0, delete_ratio=0.0, seed=7,
             )
-            CheckpointedReplayer(pipe, os.path.join(work, f"ck_load_{label}")).run(
+            load_path = os.path.join(work, f"{prefix}_load_data")
+            load.write.parquet(load_path)
+            load = spark.read.parquet(load_path)
+            updates = generate_sparse_update_epochs(
+                spark, n_conversations=sp_convs, turns_per_conv=sp_turns,
+                n_epochs=sp_epochs, convs_per_epoch=convs_per_epoch,
+                updates_per_conv=updates_per_conv, delete_frac=0.05,
+                window_frac=0.1, seed=7,
+            )
+            upd_path = os.path.join(work, f"{prefix}_updates")
+            updates.write.parquet(upd_path)
+            updates = spark.read.parquet(upd_path)
+            n_sparse = updates.count()
+
+            # Build the maintained table ONCE and clone it per variant:
+            # the dense load epoch takes the CoW plan in auto mode too, so
+            # the loaded state is mode-identical — the cow clone just
+            # flips the silver layer_mode property (ALTER TABLE SET
+            # TBLPROPERTIES analog), safe on a delta-free table.
+            t0 = time.monotonic()
+            auto_root = os.path.join(work, f"{prefix}_auto_a")
+            pipe = MedallionPipeline.create(
+                spark, auto_root, n_buckets=cpus, bronze_mode="mor",
+                compact_every=compact_every, derived_every=2, layer_mode="auto",
+            )
+            if compact_every == 0:
+                pipe.compact_delta_depth = 10**6
+            CheckpointedReplayer(pipe, os.path.join(work, f"ckl_{prefix}")).run(
                 load, n_chunks=1
             )
             # maintenance done: sorted bounded files -> tight per-file
@@ -158,29 +177,53 @@ def main() -> None:
                           target_file_rows=rows_per_file)
             rewrite_files(pipe.silver, sort_by=("conv_id", "turn_idx"),
                           order=("_gen",), target_file_rows=rows_per_file)
-            return root
+            timings[f"{prefix}_load"] = round(time.monotonic() - t0, 3)
+            auto_b = os.path.join(work, f"{prefix}_auto_b")
+            shutil.copytree(auto_root, auto_b)
+            cow_root = os.path.join(work, f"{prefix}_cow")
+            shutil.copytree(auto_root, cow_root)
+            LakeTable.load(
+                spark, os.path.join(cow_root, "silver_transcripts")
+            ).set_properties({"layer_mode": "cow"})
 
-        t0 = time.monotonic()
-        auto_root = _mk_lake("auto_a", "auto")
-        timings["cdc_sparse_load"] = round(time.monotonic() - t0, 3)
-        auto_b = os.path.join(work, "sparse_auto_b")
-        shutil.copytree(auto_root, auto_b)
-        cow_root = _mk_lake("cow", "cow")
+            for label, root, n_chunks in [
+                ("auto_micro", auto_root, sp_epochs),
+                ("auto_bulk1", auto_b, 1),
+                ("cow_micro", cow_root, sp_epochs),
+            ]:
+                pipe = MedallionPipeline.load(spark, root)
+                pipe.derived_every = 2
+                pipe.compact_every = compact_every
+                if compact_every == 0:
+                    pipe.compact_delta_depth = 10**6
+                replayer = CheckpointedReplayer(pipe, os.path.join(work, f"ck_{prefix}_{label}"))
+                t0 = time.monotonic()
+                replayer.run(updates, n_chunks=n_chunks, start_epoch=1)
+                timings[f"{prefix}_{label}"] = round(time.monotonic() - t0, 3)
+            return n_sparse
 
-        sparse_eps = {}
-        for label, root, n_chunks in [
-            ("auto_micro", auto_root, sp_epochs),
-            ("auto_bulk1", auto_b, 1),
-            ("cow_micro", cow_root, sp_epochs),
-        ]:
-            pipe = MedallionPipeline.load(spark, root)
-            pipe.derived_every = 2
-            replayer = CheckpointedReplayer(pipe, os.path.join(work, f"ck_sp_{label}"))
-            t0 = time.monotonic()
-            replayer.run(updates, n_chunks=n_chunks, start_epoch=1)
-            secs = time.monotonic() - t0
-            timings[f"cdc_sparse_{label}"] = round(secs, 3)
-            sparse_eps[label] = round(n_sparse / secs, 1)
+        sp_convs = int(os.environ.get("BENCH_SPARSE_CONVS", "20000"))
+        n_sparse = run_sparse_family(
+            "cdc_sparse", sp_convs,
+            int(os.environ.get("BENCH_SPARSE_TURNS", "25")),
+            int(os.environ.get("BENCH_SPARSE_EPOCHS", "6")),
+            sp_convs // 50, 8,
+        )
+        # Big family: compaction disabled INSIDE the timed window (and in
+        # bulk for symmetry) — micro replays would otherwise pay a
+        # mid-replay whole-table fold that the single-epoch bulk never
+        # triggers, measuring maintenance cadence instead of ingest
+        # architecture. Maintenance cost is real but amortizes per
+        # ingested byte identically in both shapes.
+        n_sparse_big = run_sparse_family(
+            "cdc_sparse_big",
+            int(os.environ.get("BENCH_SPARSE_BIG_CONVS", "250000")),
+            int(os.environ.get("BENCH_SPARSE_BIG_TURNS", "40")),
+            int(os.environ.get("BENCH_SPARSE_BIG_EPOCHS", "3")),
+            int(os.environ.get("BENCH_SPARSE_BIG_CONVS_PER_EPOCH", "6000")),
+            int(os.environ.get("BENCH_SPARSE_BIG_UPDATES_PER_CONV", "56")),
+            compact_every=0,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -203,10 +246,24 @@ def main() -> None:
                 "cdc_events_per_sec": eps.get("bulk1"),
                 "cdc_events_per_sec_microbatch": eps.get("microbatch4"),
                 "sparse_events": n_sparse,
+                "sparse_big_events": n_sparse_big,
+                "sparse_big_events_per_epoch": n_sparse_big
+                // int(os.environ.get("BENCH_SPARSE_BIG_EPOCHS", "3")),
+                # headline sparse ratios come from the BIG family (the
+                # amortized regime); the floor family's ratio is reported
+                # under its own key for cross-round comparison
                 "sparse_micro_over_bulk": round(
-                    timings["cdc_sparse_auto_micro"] / timings["cdc_sparse_auto_bulk1"], 3
+                    timings["cdc_sparse_big_auto_micro"]
+                    / timings["cdc_sparse_big_auto_bulk1"], 3
                 ),
                 "sparse_cow_over_auto": round(
+                    timings["cdc_sparse_big_cow_micro"]
+                    / timings["cdc_sparse_big_auto_micro"], 3
+                ),
+                "sparse_floor_micro_over_bulk": round(
+                    timings["cdc_sparse_auto_micro"] / timings["cdc_sparse_auto_bulk1"], 3
+                ),
+                "sparse_floor_cow_over_auto": round(
                     timings["cdc_sparse_cow_micro"] / timings["cdc_sparse_auto_micro"], 3
                 ),
                 "cores": cpus,

@@ -157,6 +157,32 @@ class MedallionPipeline:
     # mid-cadence): the next derived refresh rebuilds gold from full
     # silver state instead of an (unknowable) incremental set
     _derived_behind: bool = field(init=False, default=False)
+    # Run each derived flush on a background driver thread, overlapped
+    # with the NEXT epoch's bronze/silver work (the flush writes only
+    # gold tables; the next epoch writes only bronze/silver — disjoint
+    # commit targets, and the flush constructs its read plans against
+    # whatever silver snapshot is current when it runs, which is always
+    # a superset-fresh state for its affected conversations — a later
+    # flush re-covers those conversations, so the final state converges
+    # exactly as with the derived_every cadence). At most ONE flush is
+    # in flight; the next flush/finalize/expiry waits. A flush failure
+    # surfaces on that wait — same crash semantics as the synchronous
+    # path (epoch guards + behind-detection rebuild on resume).
+    # OFF by default: a direct apply_epoch caller must read current gold
+    # right after the call returns (least surprise). Drivers that
+    # guarantee a drain point enable it for their duration — the bounded
+    # CheckpointedReplayer does (finalize() at the end), and that is
+    # where the overlap pays: the flush hides behind the next epoch's
+    # bronze/silver wall.
+    async_derived: bool = False
+    _flush_future: object = field(init=False, default=None)
+    _flush_pool: object = field(init=False, default=None)
+    # session shuffle width captured at the first adaptive epoch; the
+    # relay re-asserts a per-epoch width (narrow for sparse epochs, the
+    # default for dense) and restores the session default at finalize /
+    # observability flush — NOT per epoch, so the background derived
+    # flush inherits the narrow width its data was sized for
+    _session_shuffle_default: str | None = field(init=False, default=None)
 
     CONV_META_ATTRS = T.StructType(
         [
@@ -288,6 +314,18 @@ class MedallionPipeline:
     # exactly what caps N->4N scaling efficiency. Disabled inside the
     # relay only; analytic sessions keep it on.
     disable_aqe_in_relay: bool = True
+    # Size the relay's shuffles to the BATCH, not the session default: a
+    # 3k-row sparse epoch through cluster-wide shuffle width is pure
+    # task-scheduling overhead (measured 2x wall at 64 partitions vs 8
+    # on local[32] — the dominant term of the per-epoch floor). Width
+    # only ever SHRINKS from the session default, keyed off the affected
+    # conversation count, with a floor of defaultParallelism/4; dense
+    # epochs keep the full width. Restored after every epoch.
+    adaptive_shuffle: bool = True
+    # affected conversations per shuffle partition the width heuristic
+    # targets (rows-per-conv is workload-dependent; this conservative
+    # grain keeps even fat conversations inside task memory)
+    shuffle_keys_per_partition: int = 320
 
     def apply_epoch(self, batch: DataFrame, epoch: int) -> EpochMetrics:
         """The relay body: one change batch through all layers."""
@@ -324,6 +362,7 @@ class MedallionPipeline:
         # bronze apply with the silver refresh.)
         affected = silver_plan.compute_affected(batch, self.n_buckets)
         affected.dense = self._dense_batch(affected)
+        self._set_epoch_shuffle_width(affected)
         # The silver refresh (turn OR per-conversation) can derive its
         # inputs from the PRE-apply bronze snapshot overlaid with the
         # batch winners (associative max-by dedup), so bronze and silver
@@ -436,10 +475,13 @@ class MedallionPipeline:
 
             self._pending_derived.append((epoch, affected, dates))
             if len(self._pending_derived) >= max(1, self.derived_every):
-                self._flush_derived(epoch, enriched_for_gold)
+                self._submit_flush(epoch, enriched_for_gold)
             t3 = time.monotonic()
             self._maybe_compact_layers(epoch)
             if self.expire_keep_last is not None and not self._pending_derived:
+                # expiry DELETES superseded files — an in-flight flush has
+                # eagerly-resolved file lists pinned, so drain it first
+                self._wait_flush()
                 for table in (self.bronze, self.silver, self.summary, self.daily,
                               self.conv_dates,
                               self.conv_master, self.lineage, self.metrics):
@@ -477,6 +519,36 @@ class MedallionPipeline:
         )
         return m
 
+    def _set_epoch_shuffle_width(self, affected) -> None:
+        """Re-assert ``spark.sql.shuffle.partitions`` for this epoch:
+        clamped to the batch's affected-key count for sparse epochs, the
+        session default for dense ones (see ``adaptive_shuffle``). Only
+        the relay thread writes the conf; the session default is
+        restored by finalize()/flush_observability(), not per epoch, so
+        the background derived flush runs at the width its epoch's data
+        was sized for."""
+        if not self.adaptive_shuffle:
+            return
+        conf = self.spark.conf
+        if self._session_shuffle_default is None:
+            self._session_shuffle_default = conf.get("spark.sql.shuffle.partitions", "200")
+        default = int(self._session_shuffle_default)
+        if affected.dense or affected.n_keys <= 0:
+            width = default
+        else:
+            floor = max(self.spark.sparkContext.defaultParallelism // 4, 2)
+            width = min(
+                default,
+                max(floor, -(-affected.n_keys // max(self.shuffle_keys_per_partition, 1))),
+            )
+        conf.set("spark.sql.shuffle.partitions", str(width))
+
+    def _restore_shuffle_width(self) -> None:
+        if self._session_shuffle_default is not None:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", self._session_shuffle_default
+            )
+
     def _dense_batch(self, affected) -> bool:
         """Dense fast path decision: when the batch touches at least half
         the conversations of its buckets (estimated from the summary
@@ -511,11 +583,50 @@ class MedallionPipeline:
             return True
         return self.compact_every > 0 and (epoch + 1) % self.compact_every == 0
 
-    def _flush_derived(self, epoch: int, enriched_for_gold: DataFrame | None = None) -> None:
+    def _wait_flush(self) -> None:
+        """Drain the in-flight background flush; re-raises its failure
+        here (the first point the relay can observe it)."""
+        if self._flush_future is not None:
+            fut, self._flush_future = self._flush_future, None
+            fut.result()
+
+    def _submit_flush(self, epoch: int, enriched_for_gold: DataFrame | None) -> None:
+        """Dispatch the derived flush: background thread when
+        ``async_derived`` (overlapping it with the next epoch), inline
+        otherwise. The pending list is captured HERE, on the relay
+        thread, so the next epoch's append never races the worker; the
+        previous flush is always drained first (one in flight, derived
+        epoch stamps stay monotonic)."""
+        pend, self._pending_derived = self._pending_derived, []
+        if not pend:
+            return
+        self._wait_flush()
+        # the persist_enriched cache is unpersisted when this epoch
+        # returns — a background flush could outlive it, so run inline
+        if not self.async_derived or enriched_for_gold is not None:
+            self._flush_derived(epoch, enriched_for_gold, pend)
+            return
+        if self._flush_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._flush_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="derived-flush"
+            )
+        self._flush_future = self._flush_pool.submit(
+            self._flush_derived, epoch, None, pend
+        )
+
+    def _flush_derived(
+        self,
+        epoch: int,
+        enriched_for_gold: DataFrame | None = None,
+        pend: list | None = None,
+    ) -> None:
         """Run the gold summary + daily refreshes over everything pending.
         Epoch-stamped with the NEWEST covered epoch, so a crash between
         flush and checkpoint replays idempotently."""
-        pend, self._pending_derived = self._pending_derived, []
+        if pend is None:
+            pend, self._pending_derived = self._pending_derived, []
         if not pend:
             return
         try:
@@ -604,18 +715,23 @@ class MedallionPipeline:
         """Flush any pending derived refreshes (end of a bounded replay) —
         after this, gold state equals what per-epoch refresh would have
         produced."""
+        self._wait_flush()
         if self._pending_derived:
             last_epoch = self._pending_derived[-1][0]
             self._flush_derived(last_epoch)
         elif self._derived_behind:
             # summary and daily are independent tables — a pipeline with
             # with_gold=False but with_daily=True must still catch the
-            # daily rollup up (mirrors _flush_derived's behind path)
+            # daily rollup up (mirrors _flush_derived's behind path).
+            # Full rebuilds scan full silver: restore the session
+            # shuffle width first.
+            self._restore_shuffle_width()
             e = self.silver.last_epoch("silver_refresh")
             if self.summary is not None:
                 gold_plan.refresh_summary_full(self.silver, self.summary, epoch=e)
             self._rebuild_daily_full(e)
             self._derived_behind = False
+        self._restore_shuffle_width()
 
     def _rebuild_daily_full(self, epoch: int) -> None:
         """Catch-up daily rebuild: one silver scan into the conv×date
@@ -646,6 +762,9 @@ class MedallionPipeline:
             return
         from maritime_activity_reports_cdc_spark.operators import mor as mor_op
 
+        # gen-MoR layer compaction rewrites the SAME gold tables an
+        # in-flight background flush commits to — drain it first
+        self._wait_flush()
         for table, group in (
             (self.silver, ["conv_id"]),
             (self.summary, ["conv_id"]),
@@ -659,6 +778,8 @@ class MedallionPipeline:
         maintenance): restores pure read-optimized state."""
         from maritime_activity_reports_cdc_spark.operators import mor as mor_op
         from maritime_activity_reports_cdc_spark.operators.apply import compact
+
+        self._wait_flush()
 
         if self.bronze_mode == "mor":
             compact(self.bronze)
@@ -683,6 +804,9 @@ class MedallionPipeline:
         epoch key makes re-flush after resume idempotent."""
         from maritime_activity_reports_cdc_spark.sources.lake import EpochAlreadyApplied
 
+        # central restore hook: runs at replay end and per streaming
+        # batch, so the session never stays narrowed for other users
+        self._restore_shuffle_width()
         if self._pending_lineage:
             try:
                 self.lineage.append(

@@ -291,6 +291,9 @@ class AffectedSet:
     buckets: list[int]
     bounds: tuple | None
     n_keys: int = 0
+    # batch ROW count (free from the same aggregate pass): drives
+    # row-volume plan choices (fat-cache vs recompute, shuffle width)
+    n_rows: int = 0
     # Dense mode: the batch touches (almost) every conversation of its
     # buckets, so key-restricted semi/anti joins are pointless — whole
     # affected buckets are recomputed with ZERO broadcast builds (the
@@ -320,17 +323,25 @@ class AffectedSet:
 
 
 def compute_affected(batch: DataFrame, n_buckets: int) -> AffectedSet:
+    # groupBy instead of distinct: identical shuffle, and the per-conv
+    # counts make the batch ROW count free in the same aggregate pass
     keyed = (
-        batch.select("conv_id").distinct()
+        batch.groupBy("conv_id").agg(F.count("*").alias("_n"))
         .withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
         .persist()
     )
     row = keyed.agg(
-        F.collect_set(BUCKET_COL), F.min("conv_id"), F.max("conv_id"), F.count("*")
+        F.collect_set(BUCKET_COL), F.min("conv_id"), F.max("conv_id"),
+        F.count("*"), F.sum("_n"),
     ).collect()[0]
     buckets = sorted(row[0]) if row[0] else []
     bounds = None if row[1] is None else (row[1], row[2])
-    return AffectedSet(keyed, buckets, bounds, n_keys=int(row[3]))
+    # keys keeps the persisted frame itself (unpersist must hit the
+    # cached plan, not a derived select); the extra _n column is inert —
+    # every consumer projects conv_id/bucket before joining
+    return AffectedSet(
+        keyed, buckets, bounds, n_keys=int(row[3]), n_rows=int(row[4] or 0)
+    )
 
 
 def build_enriched(
@@ -445,10 +456,22 @@ def refresh_silver_turn(
         silver_table.commit_epoch_noop(source, epoch, {"rows": 0})
         return True
     n_buckets = int(silver_table.properties()["n_buckets"])
-    # winners feeds FOUR consumers (broadcast key set, upsert images,
-    # successor anti-join, tombstones): persist the small deduped batch
-    # so each doesn't re-run the chunk scan + dedup shuffle
-    winners = dedup_latest(batch).persist()
+    # Winner caching is row-volume adaptive. SMALL batches persist the
+    # full deduped winners (one dedup, four consumers, cache is pennies).
+    # LARGE batches split by width: the THIN winners (keys, order,
+    # envelope — no text) feed the narrow consumers (overlay pass,
+    # broadcast key set, successor anti-join, tombstones) and persist
+    # cheaply, while the FAT images are deduped separately and consumed
+    # exactly once by the write union, never cached — persisting
+    # deserialized fat rows measured ~2x wall swings on 10^6-event
+    # epochs from heap churn (and would be GBs at production sizes).
+    small_batch = 0 < affected.n_rows <= 50_000
+    if small_batch:
+        winners = dedup_latest(batch).persist()
+    else:
+        thin_w = ["conv_id", "turn_idx", "ts", "role", "op", "lsn",
+                  "op_ordinal", "commit_ts"]
+        winners = dedup_latest(batch.select(*thin_w)).persist()
 
     # 1. thin window pass over post-apply bronze state: predecessor
     # values for every live turn of the affected buckets.
@@ -504,11 +527,14 @@ def refresh_silver_turn(
     # the O(batch)-row frame avoids re-running the thin scan + window
     affected_turns = affected_turns.persist()
 
-    # 3. fat row images: changed turns from the batch itself; successors
-    # from current silver (their text is unchanged by definition)
+    # 3. fat row images: changed turns from the batch itself (from the
+    # cached winners on small batches, re-deduped uncached on large —
+    # see above); successors from current silver (their text is
+    # unchanged by definition)
     image_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
                   "op", "lsn", "op_ordinal", "commit_ts"]
-    upserts = winners.where(F.col("op") != "D").select(*image_cols)
+    fat_winners = winners if small_batch else dedup_latest(batch)
+    upserts = fat_winners.where(F.col("op") != "D").select(*image_cols)
     succ_keys = affected_turns.select("conv_id", "turn_idx").join(
         winners.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
     )
@@ -626,9 +652,9 @@ def union_affected(sets: list[AffectedSet]) -> AffectedSet:
     sets = [s for s in sets if s.buckets] or sets[:1]
     if len(sets) == 1:
         return sets[0]
-    keys = sets[0].keys
+    keys = sets[0].keys.select("conv_id", BUCKET_COL)
     for s in sets[1:]:
-        keys = keys.unionByName(s.keys)
+        keys = keys.unionByName(s.keys.select("conv_id", BUCKET_COL))
     keys = keys.distinct().persist()
     buckets = sorted({b for s in sets for b in s.buckets})
     bounds_list = [s.bounds for s in sets if s.bounds]
@@ -639,7 +665,11 @@ def union_affected(sets: list[AffectedSet]) -> AffectedSet:
     )
     # n_keys as the sum is an upper bound (overlap across epochs) — it
     # only ever over-triggers the dense path, which stays correct.
-    return AffectedSet(keys, buckets, bounds, n_keys=sum(s.n_keys for s in sets))
+    return AffectedSet(
+        keys, buckets, bounds,
+        n_keys=sum(s.n_keys for s in sets),
+        n_rows=sum(s.n_rows for s in sets),
+    )
 
 
 def refresh_silver_for_conversations(

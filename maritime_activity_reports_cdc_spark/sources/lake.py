@@ -476,6 +476,36 @@ class LakeTable:
             "bytes_removed": removed_bytes,
         }
 
+    def set_properties(self, updates: dict[str, Any]) -> Snapshot:
+        """ALTER TABLE SET TBLPROPERTIES analog: commit a new snapshot
+        carrying updated table properties, data untouched (Iceberg/Delta
+        both expose this). A value of None removes the key. Property
+        changes that alter READ semantics (e.g. ``layer_mode``) are the
+        caller's responsibility to apply only on states where the modes
+        agree (a delta-free table reads identically in cow/turn/auto)."""
+        parent = self.snapshot()
+        properties = {
+            **{k: v for k, v in parent.properties.items()
+               if updates.get(k, "") is not None},
+            **{k: v for k, v in updates.items() if v is not None},
+        }
+        snap = Snapshot(
+            version=parent.version + 1,
+            parent=parent.version,
+            schema_json=parent.schema_json,
+            partition_by=parent.partition_by,
+            files=parent.files,
+            summary={"operation": "set-properties", "keys": sorted(updates)},
+            epochs=parent.epochs,
+            properties=properties,
+            file_stats=parent.file_stats,
+            delta_files=parent.delta_files,
+        )
+        self._write_snapshot(
+            snap, expected_parent=parent.version, touched=set(), parent_refs=parent.refs
+        )
+        return snap
+
     # ------------------------------------------------------------------
     # schema evolution (additive)
     # ------------------------------------------------------------------

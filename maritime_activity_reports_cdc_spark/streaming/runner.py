@@ -169,7 +169,47 @@ class CheckpointedReplayer:
                 self._materialize_chunks(tail, chunk_dir, lo, step, mode="append")
                 self._write_chunk_meta(chunk_dir, int(hi))
         metrics: list[EpochMetrics] = []
-        run_count = skip_count = events = 0
+        # Bounded replay guarantees a drain point (finalize below), so
+        # the derived flush runs on a background thread here, hidden
+        # behind the next epoch's bronze/silver work.
+        prior_async = self.pipeline.async_derived
+        self.pipeline.async_derived = True
+        try:
+            skip_count = self._replay_epochs(
+                changes, lo, span, step, state, prechunk, chunk_dir,
+                start_epoch, fail_after_epoch, metrics,
+            )
+        except BaseException:
+            # on an abnormal exit the in-flight flush must not keep
+            # writing gold while a restarted pipeline takes over — drain
+            # it, suppressing only ITS failure (secondary to the one
+            # propagating; the success path surfaces flush failures via
+            # finalize's own wait below)
+            try:
+                self.pipeline._wait_flush()
+            except Exception:  # noqa: BLE001
+                pass
+            raise
+        finally:
+            self.pipeline.async_derived = prior_async
+        run_count = len(metrics)
+        events = sum(m.n_keys for m in metrics)
+        # bounded replay epilogue: flush any pending derived refreshes
+        # (derived_every cadence) so the final gold state is complete
+        self.pipeline.finalize()
+        self.pipeline.flush_observability()
+        wall = time.monotonic() - start
+        return ReplayReport(
+            run_count, skip_count, events, wall, events / wall if wall > 0 else 0.0, metrics
+        )
+
+    def _replay_epochs(
+        self, changes, lo, span, step, state, prechunk, chunk_dir,
+        start_epoch, fail_after_epoch, metrics,
+    ) -> int:
+        """Inner epoch loop; returns the skip count. Split out so the
+        caller can wrap async-flush enable/drain around it."""
+        skip_count = 0
         i = -1
         while True:
             i += 1
@@ -193,20 +233,11 @@ class CheckpointedReplayer:
             # checkpoint); the checkpoint itself tracks chunk indices.
             m = self.pipeline.apply_epoch(chunk, epoch=start_epoch + i)
             metrics.append(m)
-            run_count += 1
-            events += m.n_keys
             state = {"last_epoch": i, "lsn_high": c_hi - 1, "lsn_lo": lo, "step": step}
             self.write_checkpoint(state)
             if fail_after_epoch is not None and i >= fail_after_epoch:
                 raise RuntimeError(f"injected crash after epoch {i}")
-        # bounded replay epilogue: flush any pending derived refreshes
-        # (derived_every cadence) so the final gold state is complete
-        self.pipeline.finalize()
-        self.pipeline.flush_observability()
-        wall = time.monotonic() - start
-        return ReplayReport(
-            run_count, skip_count, events, wall, events / wall if wall > 0 else 0.0, metrics
-        )
+        return skip_count
 
 
 def start_stream(
@@ -226,6 +257,11 @@ def start_stream(
     """
     def _relay(df, batch_id):
         pipeline.apply_epoch(df, epoch=batch_id)
+        # drain the background derived flush inside the batch body:
+        # foreachBatch completion must mean gold is current (consumers
+        # read between triggers); the bounded replayer keeps the
+        # cross-epoch overlap instead
+        pipeline._wait_flush()
         pipeline.flush_observability()
 
     stream = spark.readStream.schema(CHANGE_SCHEMA).parquet(feed_dir)

@@ -84,6 +84,24 @@ def test_noop_epoch_commit(spark, tmp_path):
     assert t.last_epoch("src") == 5 and t.read().count() == 0
 
 
+def test_set_properties_commits_without_touching_data(spark, tmp_path):
+    """ALTER TABLE SET TBLPROPERTIES analog: a property-only snapshot —
+    data files untouched, None removes a key, epochs carried forward."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, partition_by="p",
+        properties={"a": 1, "keep": "x"},
+    )
+    t.append(_df(spark, [("a", 1, 0), ("b", 2, 1)]), epoch=("src", 3))
+    files_before = dict(t.snapshot().files)
+    v = t.current_version()
+    t.set_properties({"b": 2, "a": None})
+    assert t.current_version() == v + 1
+    assert t.properties() == {"keep": "x", "b": 2}
+    assert t.snapshot().files == files_before
+    assert t.last_epoch("src") == 3
+    assert t.read().count() == 2
+
+
 def test_add_columns_null_backfill(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, partition_by="p")
     t.append(_df(spark, [("a", 1, 0)]))

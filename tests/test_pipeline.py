@@ -166,6 +166,71 @@ def test_daily_retry_after_crash_between_index_and_daily_commits(
     assert daily2[dt.date(2025, 3, 1)].n_turns == 5
 
 
+def test_sparse_relay_commit_counts(spark, tmp_path):
+    """The per-epoch commit budget is part of the floor contract: a
+    K-epoch sparse replay (derived_every=2, compaction off) commits
+    exactly ONE bronze and ONE silver snapshot per epoch, ONE snapshot
+    per gold table per derived flush, and ONE lineage + ONE metrics
+    append per bounded replay — nothing per-epoch beyond the two data
+    layers."""
+    from maritime_activity_reports_cdc_spark.sources.generator import (
+        generate_sparse_update_epochs,
+    )
+
+    load = generate_transcript_changes(
+        spark, n_conversations=200, turns_per_conv=5,
+        update_ratio=0.0, delete_ratio=0.0, seed=31,
+    )
+    updates = generate_sparse_update_epochs(
+        spark, n_conversations=200, turns_per_conv=5, n_epochs=4,
+        convs_per_epoch=10, updates_per_conv=3, delete_frac=0.1,
+        window_frac=0.2, seed=31,
+    )
+    p = MedallionPipeline.create(
+        spark, str(tmp_path / "m"), n_buckets=4, layer_mode="auto",
+        compact_every=0, compact_delta_depth=10**6, derived_every=2,
+    )
+    CheckpointedReplayer(p, str(tmp_path / "ck0")).run(load, n_chunks=1)
+    CheckpointedReplayer(p, str(tmp_path / "ck1")).run(
+        updates, n_chunks=4, start_epoch=1
+    )
+    # 5 epochs total (load + 4 updates): one commit per epoch per data
+    # layer; 3 derived flushes (load finalize, epochs 1-2, epochs 3-4);
+    # 2 observability appends (one per bounded replay)
+    assert p.bronze.current_version() == 5
+    assert p.silver.current_version() == 5
+    assert p.summary.current_version() == 3
+    assert p.daily.current_version() == 3
+    assert p.conv_dates.current_version() == 3
+    assert p.lineage.current_version() == 2
+    assert p.metrics.current_version() == 2
+    # the relay restored the session shuffle width on finalize
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+        int(p._session_shuffle_default)
+    )
+
+
+def test_async_flush_failure_surfaces_on_next_epoch(
+    spark, tmp_path, tiny_batch, monkeypatch
+):
+    """A background derived-flush failure must surface on the next
+    drain point (next flush submit / finalize), not vanish."""
+    p = MedallionPipeline.create(
+        spark, str(tmp_path / "m"), n_buckets=4, derived_every=1,
+    )
+    p.async_derived = True  # direct-call default is sync; opt in here
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected flush failure")
+
+    monkeypatch.setattr(p.summary, "replace_partitions", boom)
+    p.apply_epoch(tiny_batch, epoch=0)  # submits the async flush
+    upd = [_row("U", 10, "cA", 1, "user", "changed text here")]
+    with pytest.raises(RuntimeError, match="injected flush failure"):
+        p.apply_epoch(spark.createDataFrame(upd, CHANGE_SCHEMA), epoch=1)
+        p.finalize()
+
+
 def test_checkpointed_replay_and_crash_restart(spark, tmp_path):
     changes = generate_transcript_changes(
         spark, n_conversations=30, turns_per_conv=8, update_ratio=0.3,
