@@ -151,11 +151,17 @@ Other notes:
   off inside the relay (fixed-shape plans).
 - Throughput above is the microbatch regime; the amortized bulk regime
   (bench.py `cdc_replay_bulk1`) is reported in BENCH_r*.json.
-- Round-1 -> round-2 efficiency: 0.58 -> 0.70 (0.91 of the hardware
-  ceiling). The serial fraction removed: broadcast builds of the
-  affected-key set (dense fast path), AQE stage scheduling, redundant
-  log scans, per-epoch gold fixed costs (cadence), O(total-files)
-  manifest serialization (format-2 refs).
+- Round-over-round efficiency: 0.58 (r1) -> 0.70 (r2) -> 0.71 (r3) ->
+  this report (vs the 0.77 hardware ceiling). Serial fractions removed
+  so far: broadcast builds of the affected-key set (dense fast path),
+  AQE stage scheduling, redundant log scans, per-epoch gold fixed costs
+  (cadence), O(total-files) manifest serialization (format-2 refs,
+  r2); month-partitioned conv-by-date index + shared thin gold slice +
+  bronze/silver overlap (r3); ASYNC derived flush (gold commits hidden
+  behind the next epoch's bronze/silver wall) and batch-sized relay
+  shuffle widths (r4 — the 3.1M-event epochs here are dense, so the
+  width clamp is inactive in this job; the async flush is what moves
+  this number).
 - On a real multi-executor cluster (the north_rule deployment) N vs 4N
   adds network shuffle but removes shared-memory-bandwidth contention
   and gives each executor isolated cores/heap; the remaining per-epoch

@@ -50,6 +50,7 @@ def _apply_config(args) -> None:
         "derived_every": cfg.lake.derived_every,
         "keep_last": cfg.lake.expire_keep_last or 10,
         "chunks": cfg.replay.chunks,
+        "adaptive_shuffle": cfg.replay.adaptive_shuffle,
         "target_file_rows": cfg.maintenance.target_file_rows,
     }
     for name, value in fallbacks.items():
@@ -85,6 +86,7 @@ def cmd_replay(args) -> dict:
 
     spark = _spark(args)
     p = MedallionPipeline.load(spark, args.root)
+    p.adaptive_shuffle = bool(args.adaptive_shuffle)
     changes = spark.read.parquet(args.changes)
     report = CheckpointedReplayer(p, args.checkpoint).run(changes, n_chunks=args.chunks)
     return {
@@ -245,6 +247,8 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--root", required=True)
     rp.add_argument("--changes", required=True, help="parquet change-log path")
     rp.add_argument("--chunks", type=int, default=None)
+    rp.add_argument("--adaptive-shuffle", type=int, choices=[0, 1], default=None,
+                    help="size relay shuffles to each epoch's batch (default on)")
     rp.add_argument("--checkpoint", required=True)
 
     st = sub.add_parser("stream", help="tail change feeds via Structured Streaming")

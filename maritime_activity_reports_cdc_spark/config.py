@@ -29,6 +29,7 @@ Example (every key optional)::
 
     [replay]
     chunks = 8
+    adaptive_shuffle = true
 """
 
 from __future__ import annotations
@@ -64,6 +65,9 @@ class MaintenanceConfig:
 @dataclasses.dataclass
 class ReplayConfig:
     chunks: int = 8
+    # size relay shuffles to each epoch's batch (see
+    # MedallionPipeline.adaptive_shuffle)
+    adaptive_shuffle: bool = True
 
 
 @dataclasses.dataclass
