@@ -519,6 +519,8 @@ def knn_classify(
     rows_per_band: int = 4,
     probes: int = 0,
     hash_fn: str = "xxhash64",
+    n_lists: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Majority label among the top-k neighbors (ties -> smallest
     label). Returns (qid, predicted_label).
@@ -530,11 +532,20 @@ def knn_classify(
     candidate join, recall tunes via bands/probes exactly as for ANN
     search, and at high band budgets the candidate set covers the true
     top-k so the predictions match the brute classifier (asserted in
+    pytest). ``method='ivf'``: neighbors from the IVF cell-probe index
+    (``ivf_topk``) — the alternative scale path when the corpus already
+    carries a centroid partition (recall tunes via n_probe;
+    n_probe >= n_lists scans every cell and matches brute, asserted in
     pytest)."""
     if method == "banded":
         topk = banded_lsh_topk(
             vectors, queries, k, bands, rows_per_band, id_col, vec_col,
             query_id_col, query_vec_col, hash_fn=hash_fn, probes=probes,
+        )
+    elif method == "ivf":
+        topk = ivf_topk(
+            vectors, queries, k, n_lists, n_probe, id_col, vec_col,
+            query_id_col, query_vec_col,
         )
     elif method == "brute":
         topk = brute_force_topk(

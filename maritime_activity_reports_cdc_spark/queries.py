@@ -1199,6 +1199,66 @@ SELECT qid, label AS predicted_label FROM best WHERE b = 1
 KNN_ANN_SQL = _knn_ann_sql()
 
 
+def knn_classify_ivf(spark, sf):
+    """IVF-backed kNN classification: neighbors come from the cell-probe
+    index (``ivf_topk`` — 4 of 16 cells per query) with exact rescoring,
+    majority vote over the top-10. The deterministic strip-min quantizer
+    is pure column algebra, so centroid choice, cell assignment, probe
+    and vote all reproduce in DuckDB."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.knn_classify(
+        emb, queries, k=10, method="ivf", n_lists=16, n_probe=4
+    )
+
+
+KNN_IVF_SQL = """
+WITH elems AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+), b AS (
+  SELECT MIN(vec_id) AS lo, MAX(vec_id) - MIN(vec_id) + 1 AS span FROM elems
+), cent_ids AS (
+  SELECT ((vec_id - (SELECT lo FROM b)) * 16) // (SELECT span FROM b) AS cell,
+         MIN(vec_id) AS cid
+  FROM elems GROUP BY 1
+), cent AS (
+  SELECT ci.cell, e.e AS cvec FROM cent_ids ci JOIN elems e ON e.vec_id = ci.cid
+), vassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT el.vec_id, c.cell,
+           row_number() OVER (PARTITION BY el.vec_id
+             ORDER BY list_cosine_similarity(el.e, c.cvec) DESC, c.cell) AS crk
+    FROM elems el CROSS JOIN cent c
+  ) WHERE crk = 1
+), qassign AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT el.vec_id, c.cell,
+           row_number() OVER (PARTITION BY el.vec_id
+             ORDER BY list_cosine_similarity(el.e, c.cvec) DESC, c.cell) AS crk
+    FROM elems el CROSS JOIN cent c
+    WHERE el.vec_id < 10
+  ) WHERE crk <= 4
+), cand AS (
+  SELECT q.qid, v.vec_id AS nid
+  FROM qassign q JOIN vassign v ON v.cell = q.cell AND v.vec_id <> q.qid
+), scored AS (
+  SELECT c.qid, c.nid, ev.label, list_cosine_similarity(eq.e, ev.e) AS sim
+  FROM cand c JOIN elems eq ON eq.vec_id = c.qid JOIN elems ev ON ev.vec_id = c.nid
+), r AS (
+  SELECT qid, nid, label, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM scored
+), votes AS (
+  SELECT qid, label, COUNT(*) AS c FROM r WHERE rk <= 10 GROUP BY qid, label
+), best AS (
+  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS b
+  FROM votes
+)
+SELECT qid, label AS predicted_label FROM best WHERE b = 1
+"""
+
+
 def left_join_null_handling(spark, sf):
     """J5/J7 + null-handling family: left join to a filtered dimension,
     coalesce the misses (reference left-join enrichment,
@@ -1305,5 +1365,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_classify_ann": QuerySpec(
         knn_classify_ann, KNN_ANN_SQL,
         "ANN-backed kNN classify (banded candidates + exact rescoring)"
+    ),
+    "knn_classify_ivf": QuerySpec(
+        knn_classify_ivf, KNN_IVF_SQL,
+        "IVF-backed kNN classify (cell-probe candidates + exact rescoring)"
     ),
 }

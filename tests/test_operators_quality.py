@@ -284,6 +284,23 @@ def test_knn_classify_banded_matches_brute_at_high_bands(spark):
     }
     labels = {r.label for r in emb.select("label").distinct().collect()}
     assert set(low) == set(brute) and set(low.values()) <= labels
+    # IVF-backed classify: probing every cell scans the full corpus, so
+    # predictions must equal brute force; a partial probe still
+    # classifies every query with a corpus label
+    ivf_all = {
+        r.qid: r.predicted_label
+        for r in SIM.knn_classify(
+            emb, q, k=10, method="ivf", n_lists=8, n_probe=8
+        ).collect()
+    }
+    assert ivf_all == brute, "probe-all IVF classify must equal brute force"
+    ivf_part = {
+        r.qid: r.predicted_label
+        for r in SIM.knn_classify(
+            emb, q, k=10, method="ivf", n_lists=8, n_probe=3
+        ).collect()
+    }
+    assert set(ivf_part) == set(brute) and set(ivf_part.values()) <= labels
     with pytest.raises(ValueError, match="method"):
         SIM.knn_classify(emb, q, method="nope")
 
