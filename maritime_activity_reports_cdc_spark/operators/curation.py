@@ -1,0 +1,189 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Three operations every large-scale pretraining pipeline runs that are
+distinct from intra-corpus dedup (``operators/dedup.py``):
+
+- **decontamination** (`contamination_pairs`): detect evaluation/test
+  documents whose content leaks into the training corpus via n-gram
+  CONTAINMENT (overlap / |test shingles| — the asymmetric metric the
+  GPT-3/PaLM decontamination appendices use, not symmetric Jaccard: a
+  short benchmark prompt embedded in a long web page is contamination
+  even though the Jaccard is tiny).
+- **deterministic hash sampling** (`hash_sample`): corpus downsampling
+  that is reproducible across runs, engines, and partitionings —
+  membership depends only on the key, never on partition layout or an
+  RNG stream, so resampling at a larger scale keeps the subset nested.
+- **per-group quota sampling** (`quota_sample`): "at most N documents
+  per source/domain" — the standard guard against a single crawl domain
+  dominating the mixture. Deterministic rank within group via the same
+  keyed hash.
+
+All three are pure DataFrame column algebra (no UDFs, no RDDs) and
+SQL-reproducible for oracle checking (``hash_fn='md5_48'``).
+
+Scale notes (100 TB):
+- `contamination_pairs` joins the two corpora on the shingle value —
+  a bucketed equi-join that shuffles O(total shingles), never a cross
+  product. The test side of a decontamination run is orders of
+  magnitude smaller than train (benchmarks vs a crawl), so its shingle
+  set is semi-join-reduced BEFORE the train-side shuffle: train
+  shingles that match no test shingle drop at the map side via a
+  broadcast of the distinct test-shingle set when it is small enough
+  (`broadcast_threshold`), making the big side's shuffle O(matching
+  shingles) instead of O(all train shingles).
+- `hash_sample` is a stateless filter — fully pushed into the scan
+  stage, no shuffle at all.
+- `quota_sample` shuffles once on the group column; group cardinality
+  is domains/sources (millions at most), and the per-group ordering
+  hash is computed map-side. Heavily skewed groups (one domain = half
+  the crawl) stream through a single reducer only for ranking — cap
+  pathological groups upstream with `hash_sample` if needed.
+
+Reference provenance: the reference pipeline has no curation layer
+(silver/cdf_processor.py stops at per-row quality flags); these
+operators extend the engine for the LLM-training workloads named in
+SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from maritime_activity_reports_cdc_spark.operators.dedup import (
+    _hasher,
+    shingle_table,
+)
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.5,
+    broadcast_threshold: int | None = 1_000_000,
+) -> DataFrame:
+    """Cross-corpus contamination: (test_id, train_id, n_common, n_test,
+    containment) for every pair whose shingle CONTAINMENT
+    ``|test ∩ train| / |test|`` meets the threshold.
+
+    Shape: shingle both corpora (distinct n-grams per doc), semi-join
+    the train side down to shingles that occur in the (small) test
+    corpus — broadcast when the distinct test-shingle count is within
+    ``broadcast_threshold`` (one count on an already-shuffled distinct
+    frame), shuffle semi-join otherwise — then one equi-join on the
+    shingle and a (test_id, train_id) count-aggregate. The quadratic
+    term is bounded by real shared shingles; disjoint corpora cost one
+    scan each.
+
+    ``min_containment=1.0`` is exact-substring-style leakage (every
+    test shingle occurs in the train doc); decontamination sweeps
+    typically flag at 0.5-0.8.
+    """
+    sh_test = shingle_table(test, id_col, text_col, shingle_n).select(
+        F.col("_id").alias("_tid"), "_s"
+    )
+    sh_train = shingle_table(train, id_col, text_col, shingle_n).select(
+        F.col("_id").alias("_rid"), "_s"
+    )
+    test_counts = sh_test.groupBy("_tid").agg(F.count("*").alias("n_test"))
+
+    probe = sh_test.select("_s").distinct()
+    if broadcast_threshold is not None:
+        # the count runs on the deduped shingle set (small for a test
+        # corpus); one bounded driver action decides the join strategy
+        if probe.count() <= broadcast_threshold:
+            probe = F.broadcast(probe)
+    sh_train = sh_train.join(probe, "_s", "left_semi")
+
+    common = (
+        sh_test.join(sh_train, "_s")
+        .groupBy("_tid", "_rid")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(test_counts, "_tid")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_test"), 6)
+        )
+        .where(F.col("containment") >= min_containment)
+        .select(
+            F.col("_tid").alias("test_id"),
+            F.col("_rid").alias("train_id"),
+            "n_common",
+            "n_test",
+            "containment",
+        )
+    )
+
+
+def contaminated_docs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Doc-level contamination verdicts: (test_id, max_containment,
+    n_train_matches) for every test document with at least one train
+    document over the threshold — the frame a pipeline anti-joins
+    against its eval sets (or uses to drop train docs, depending on
+    which side is canonical)."""
+    pairs = contamination_pairs(
+        train, test, id_col, text_col, shingle_n, min_containment
+    )
+    return pairs.groupBy(F.col("test_id")).agg(
+        F.max("containment").alias("max_containment"),
+        F.count("*").alias("n_train_matches"),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic keyed sample: keep a row iff
+    ``hash(seed, key) mod denom < fraction * denom``.
+
+    Unlike ``DataFrame.sample`` the decision is a pure function of the
+    KEY — stable across runs, partitionings, engines (md5_48 mode
+    reproduces in any SQL dialect), and nested across rates (a 1%
+    sample is a subset of the 10% sample at the same seed). A stateless
+    filter: Catalyst pushes it into the scan, no shuffle, no RNG state.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    H = _hasher(hash_fn)
+    cut = int(fraction * denom)
+    return df.where(F.pmod(H(F.lit(seed), F.col(key_col)), F.lit(denom)) < cut)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 10,
+    key_col: str = "doc_id",
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-group quota: at most ``n_per_group`` rows per ``group_col``,
+    chosen by deterministic keyed-hash order (ties broken by the key) —
+    a reproducible "uniform-ish N per domain" cap with no RNG. One
+    shuffle on the group column; the ordering hash is computed map-side.
+    Output drops the internal rank."""
+    H = _hasher(hash_fn)
+    w = Window.partitionBy(group_col).orderBy(
+        H(F.lit(seed), F.col(key_col)).alias("_hk"), F.col(key_col)
+    )
+    return (
+        df.withColumn("_qrk", F.row_number().over(w))
+        .where(F.col("_qrk") <= n_per_group)
+        .drop("_qrk")
+    )

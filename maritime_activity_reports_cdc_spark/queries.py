@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from maritime_activity_reports_cdc_spark.functions import text as TXT
+from maritime_activity_reports_cdc_spark.operators import curation as CU
 from maritime_activity_reports_cdc_spark.operators import dedup as DD
 from maritime_activity_reports_cdc_spark.operators import similarity as SIM
 from maritime_activity_reports_cdc_spark.operators.apply import dedup_latest
@@ -693,6 +694,90 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) * 1.0 / (MIN(a.n) + MIN(b.n) - COUNT(*)) >= 0.03
+"""
+
+
+def decontamination_pairs(spark, sf):
+    """Cross-corpus decontamination: the documents table split into a
+    small 'eval' slice (doc_id % 25 == 0) and the training remainder;
+    report (test, train) pairs by 3-gram CONTAINMENT — the asymmetric
+    overlap/|test| metric decontamination sweeps use. The generator's
+    planted duplicate docs surface as containment-1.0 leaks."""
+    d = t(spark, sf, "documents")
+    test = d.where(F.col("doc_id") % 25 == 0)
+    train = d.where(F.col("doc_id") % 25 != 0)
+    return CU.contamination_pairs(
+        train, test, shingle_n=3, min_containment=0.1
+    )
+
+
+DECONTAM_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS shingles
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+), te AS (
+  SELECT * FROM ex WHERE doc_id % 25 = 0
+), tr AS (
+  SELECT * FROM ex WHERE doc_id % 25 <> 0
+), common AS (
+  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+         COUNT(*) AS n_common, MIN(te.n) AS n_test
+  FROM te JOIN tr ON tr.s = te.s
+  GROUP BY 1, 2
+)
+SELECT test_id, train_id, n_common, n_test,
+       ROUND(n_common * 1.0 / n_test, 6) AS containment
+FROM common
+WHERE ROUND(n_common * 1.0 / n_test, 6) >= 0.1
+"""
+
+
+def hash_sample_docs(spark, sf):
+    """Deterministic keyed 25% sample of the corpus — membership is a
+    pure function of (seed, doc_id) via the cross-engine md5_48 hash:
+    stable across runs/partitionings and nested across rates (the 10%
+    sample at this seed is a subset of this one)."""
+    d = t(spark, sf, "documents")
+    return CU.hash_sample(d, 0.25, key_col="doc_id", hash_fn="md5_48").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(7 || ':' || doc_id), 1, 12))::BIGINT % 1000000 < 250000
+"""
+
+
+def quota_sample_docs(spark, sf):
+    """Per-source quota cap: at most 3 documents per source, chosen by
+    deterministic keyed-hash order — the anti-domination guard a corpus
+    mixture applies per crawl domain."""
+    d = t(spark, sf, "documents")
+    return CU.quota_sample(
+        d, group_col="source", n_per_group=3, key_col="doc_id", hash_fn="md5_48"
+    ).select("source", "doc_id", "n_chars")
+
+
+QUOTA_SAMPLE_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(7 || ':' || doc_id), 1, 12))::BIGINT, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id, n_chars FROM r WHERE rk <= 3
 """
 
 
@@ -1369,5 +1454,17 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_classify_ivf": QuerySpec(
         knn_classify_ivf, KNN_IVF_SQL,
         "IVF-backed kNN classify (cell-probe candidates + exact rescoring)"
+    ),
+    "decontamination_pairs": QuerySpec(
+        decontamination_pairs, DECONTAM_SQL,
+        "cross-corpus n-gram containment (train/eval decontamination)"
+    ),
+    "hash_sample_docs": QuerySpec(
+        hash_sample_docs, HASH_SAMPLE_SQL,
+        "deterministic keyed hash sample (reproducible downsampling)"
+    ),
+    "quota_sample_docs": QuerySpec(
+        quota_sample_docs, QUOTA_SAMPLE_SQL,
+        "per-source quota sample (domain anti-domination cap)"
     ),
 }

@@ -380,3 +380,105 @@ def test_real_decoder_wav_ppm_end_to_end(spark):
         MM.real_decode(b"\x89PNG....", "image/png")
     with pytest.raises(ValueError, match="RIFF"):
         MM.real_decode(b"garbage bytes", "audio/wav")
+
+
+# ---------------------------------------------------------------------------
+# curation: decontamination + deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_contamination_detects_planted_leak(spark, docs):
+    """A test doc copied verbatim from train must surface at
+    containment 1.0; a partially-overlapping doc at the fractional
+    containment; disjoint corpora produce nothing."""
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    train = docs  # 6 docs, ids 0-5
+    test = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank today"),  # == train 0
+            (101, "completely different text about spark query engines and shuffle planning extra trailing words here"),  # train 3 + tail
+            (102, "nothing in common with anything in the training corpus at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.test_id, r.train_id): (r.containment, r.n_common, r.n_test)
+        for r in CU.contamination_pairs(train, test, min_containment=0.05).collect()
+    }
+    # exact copy: every test shingle occurs in train docs 0, 1 and 4
+    for tid in (0, 1, 4):
+        assert pairs[(100, tid)][0] == 1.0
+    # prefix copy of train 3: 8 of its 12 distinct 3-grams come from
+    # train 3 (14 words -> 12 shingles; train 3's 10 words -> 8 shared)
+    c, n_common, n_test = pairs[(101, 3)]
+    assert n_common == 8 and n_test == 12 and c == round(8 / 12, 6)
+    assert not [k for k in pairs if k[0] == 102], "disjoint doc must not flag"
+
+    # doc-level rollup: max containment + match count per test doc
+    docsum = {
+        r.test_id: (r.max_containment, r.n_train_matches)
+        for r in CU.contaminated_docs(train, test, min_containment=0.5).collect()
+    }
+    # 100 matches the three exact copies at 1.0 plus near-dup train 2
+    # (8 of 11 shingles) above the 0.5 floor
+    assert docsum[100] == (1.0, 4) and docsum[101] == (round(8 / 12, 6), 1)
+    assert 102 not in docsum
+
+
+def test_contamination_broadcast_and_shuffle_paths_agree(spark, docs):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    test = docs.where(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 50).alias("doc_id"), "text"
+    )
+    a = sorted(
+        map(tuple, CU.contamination_pairs(docs, test, min_containment=0.1).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            CU.contamination_pairs(
+                docs, test, min_containment=0.1, broadcast_threshold=None
+            ).collect(),
+        )
+    )
+    assert a == b and a, "broadcast probe and shuffle semi-join must agree"
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in CU.hash_sample(d, 0.10, key_col="doc_id").collect()}
+    s25 = {r.doc_id for r in CU.hash_sample(d, 0.25, key_col="doc_id").collect()}
+    # deterministic: a second run returns the identical membership
+    again = {r.doc_id for r in CU.hash_sample(d, 0.10, key_col="doc_id").collect()}
+    assert s10 == again
+    # nested across rates at the same seed
+    assert s10 <= s25
+    # rate lands near the target (keyed hash is uniform-ish)
+    assert 0.07 < len(s10) / 5000 < 0.13
+    assert 0.21 < len(s25) / 5000 < 0.29
+    # a different seed draws a different subset
+    other = {r.doc_id for r in CU.hash_sample(d, 0.10, key_col="doc_id", seed=99).collect()}
+    assert other != s10
+    with pytest.raises(ValueError, match="fraction"):
+        CU.hash_sample(d, 1.5)
+
+
+def test_quota_sample_caps_each_group(spark):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    d = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(40)] + [(100, "lonely")],
+        "doc_id long, source string",
+    )
+    out = CU.quota_sample(d, "source", n_per_group=4, key_col="doc_id")
+    counts = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts["src0"] == 4 and counts["src1"] == 4 and counts["src2"] == 4
+    assert counts["lonely"] == 1  # under-quota group keeps all rows
+    assert set(out.columns) == {"doc_id", "source"}  # rank column dropped
+    # deterministic membership
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in CU.quota_sample(d, "source", 4, key_col="doc_id").collect())
+    assert a == b
