@@ -165,6 +165,100 @@ def hash_sample(
     return df.where(F.pmod(H(F.lit(seed), F.col(key_col)), F.lit(denom)) < cut)
 
 
+def weighted_mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+    default_weight: float = 0.0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Per-group sampling rates — the mixture knob a pretraining corpus
+    applies per source/domain ("keep 100% of books, 8% of crawl").
+
+    Same keyed-hash membership as `hash_sample` (deterministic, nested
+    across rates, engine-reproducible in md5_48 mode) with the cut
+    looked up per group from a broadcast weights dim. Groups absent
+    from ``weights`` fall back to ``default_weight`` (0.0 = drop —
+    an explicit mixture is usually a whitelist). Stateless map-side
+    filter after a broadcast join; no shuffle of the corpus.
+    """
+    for g, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in [0, 1], got {w}")
+    spark = df.sparkSession
+    wdim = spark.createDataFrame(
+        [(g, int(w * denom)) for g, w in weights.items()],
+        f"{group_col} string, _cut long",
+    )
+    H = _hasher(hash_fn)
+    default_cut = int(default_weight * denom)
+    return (
+        df.join(F.broadcast(wdim), group_col, "left")
+        .where(
+            F.pmod(H(F.lit(seed), F.col(key_col)), F.lit(denom))
+            < F.coalesce(F.col("_cut"), F.lit(default_cut))
+        )
+        .drop("_cut")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    shard_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in deterministic ``id_col`` order and cut into bins of
+    ``seq_len`` tokens. Returns the input columns plus
+
+    - ``bin_id``     — the bin the document STARTS in,
+    - ``bin_offset`` — its token offset within that bin,
+    - ``n_bins``     — how many bins it spans (long docs cross cuts).
+
+    This is the mapping a training loader needs to materialize packed
+    sequences without moving the text: one cumulative sum, no UDFs.
+
+    Scale: a single global order is a one-reducer window — wrong at
+    corpus scale. Pass ``shard_col`` to pack per shard (each shard gets
+    its own bin namespace), which is how packed pretraining data is
+    actually laid out (bins never cross file/shard boundaries);
+    parallelism is then shard-granular. Without it, the global window
+    is only appropriate for small corpora (a warning is in the plan:
+    Spark itself flags the unpartitioned window).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    w = (
+        Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    ).orderBy(id_col)
+    start = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    # exact 64-bit integer division (`div`) — double division would lose
+    # precision once shard token offsets pass 2^53
+    L = int(seq_len)
+    return (
+        df.withColumn("_start", start)
+        .withColumn("bin_id", F.expr(f"_start div {L}"))
+        .withColumn("bin_offset", F.expr(f"_start % {L}"))
+        # bins touched = ceil(end/L) - floor(start/L)
+        .withColumn(
+            "n_bins",
+            F.expr(
+                f"((_start + cast({token_col} as bigint) + {L - 1}) div {L})"
+                f" - (_start div {L})"
+            ),
+        )
+        .drop("_start")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str = "source",

@@ -781,6 +781,66 @@ SELECT source, doc_id, n_chars FROM r WHERE rk <= 3
 """
 
 
+def mixture_sample_docs(spark, sf):
+    """Weighted mixture sampling: per-source keep rates (the corpus
+    mixture knob — 100% of src0, 50% of src1, 25% of src2, 10% of
+    src3, drop the rest), membership via the cross-engine md5_48
+    keyed hash. Broadcast weights dim + stateless filter."""
+    d = t(spark, sf, "documents")
+    return CU.weighted_mixture_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        group_col="source", key_col="doc_id", hash_fn="md5_48",
+    ).select("source", "doc_id", "lang", "n_chars")
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT source, doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(7 || ':' || doc_id), 1, 12))::BIGINT % 1000000 <
+      CASE source
+        WHEN 'src0' THEN 1000000
+        WHEN 'src1' THEN 500000
+        WHEN 'src2' THEN 250000
+        WHEN 'src3' THEN 100000
+        ELSE 0
+      END
+"""
+
+
+def pack_sequences_docs(spark, sf):
+    """GPT-style concat-and-chunk packing plan: documents laid
+    end-to-end per source shard in doc_id order and cut into 256-token
+    bins — (bin_id, bin_offset, n_bins) is the mapping a training
+    loader uses to materialize packed sequences without moving text.
+    One per-shard cumulative sum, exact integer division."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "source", TXT.token_count("text").cast("long").alias("n_tokens")
+    )
+    return CU.pack_documents(d, 256, "n_tokens", shard_col="source").select(
+        "source", "doc_id", "n_tokens", "bin_id", "bin_offset", "n_bins"
+    )
+
+
+PACK_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM d
+)
+SELECT source, doc_id, n_tokens,
+       st // 256 AS bin_id,
+       st % 256 AS bin_offset,
+       ((st + n_tokens + 255) // 256) - (st // 256) AS n_bins
+FROM s
+"""
+
+
 def corpus_dedup_pipeline(spark, sf):
     """The composed training-data cleaning flow a corpus pipeline runs
     before tokenization: exact dedup (keep the lowest doc_id per
@@ -1466,5 +1526,13 @@ QUERIES: dict[str, QuerySpec] = {
     "quota_sample_docs": QuerySpec(
         quota_sample_docs, QUOTA_SAMPLE_SQL,
         "per-source quota sample (domain anti-domination cap)"
+    ),
+    "mixture_sample_docs": QuerySpec(
+        mixture_sample_docs, MIXTURE_SAMPLE_SQL,
+        "weighted per-source mixture sampling (keyed hash rates)"
+    ),
+    "pack_sequences_docs": QuerySpec(
+        pack_sequences_docs, PACK_SQL,
+        "concat-and-chunk sequence packing plan (per-shard cumsum)"
     ),
 }

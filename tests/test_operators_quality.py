@@ -482,3 +482,54 @@ def test_quota_sample_caps_each_group(spark):
     a = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in CU.quota_sample(d, "source", 4, key_col="doc_id").collect())
     assert a == b
+
+
+def test_weighted_mixture_sample_rates_and_nesting(spark):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    d = spark.createDataFrame(
+        [(i, ["keep_all", "half", "drop_me"][i % 3]) for i in range(3000)],
+        "doc_id long, source string",
+    )
+    out = CU.weighted_mixture_sample(d, {"keep_all": 1.0, "half": 0.5})
+    got = out.groupBy("source").agg(F.count("*").alias("c")).collect()
+    counts = {r.source: r.c for r in got}
+    assert counts["keep_all"] == 1000          # weight 1.0 keeps everything
+    assert 400 < counts["half"] < 600          # ~50%
+    assert "drop_me" not in counts             # absent group -> default 0.0
+    # same keyed hash as hash_sample: the 'half' survivors are exactly
+    # hash_sample(0.5) restricted to that group
+    half_ids = {r.doc_id for r in out.where(F.col("source") == "half").collect()}
+    ref = {
+        r.doc_id
+        for r in CU.hash_sample(d.where(F.col("source") == "half"), 0.5).collect()
+    }
+    assert half_ids == ref
+    # default_weight keeps unlisted groups at the fallback rate
+    fb = CU.weighted_mixture_sample(d, {"keep_all": 1.0}, default_weight=1.0)
+    assert fb.count() == 3000
+    with pytest.raises(ValueError, match="weight"):
+        CU.weighted_mixture_sample(d, {"x": 1.5})
+
+
+def test_pack_documents_concat_and_chunk_layout(spark):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    rows = [
+        # shard a: 60 + 50 + 100 tokens, seq_len 64
+        (0, "a", 60), (1, "a", 50), (2, "a", 100),
+        # shard b restarts its own bin namespace
+        (10, "b", 64), (11, "b", 1),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, shard string, n_tokens long")
+    out = {
+        r.doc_id: (r.bin_id, r.bin_offset, r.n_bins)
+        for r in CU.pack_documents(d, 64, "n_tokens", shard_col="shard").collect()
+    }
+    assert out[0] == (0, 0, 1)     # [0, 60) fits bin 0
+    assert out[1] == (0, 60, 2)    # [60, 110) spans bins 0-1
+    assert out[2] == (1, 46, 3)    # [110, 210) spans bins 1-3
+    assert out[10] == (0, 0, 1)    # shard b starts fresh; exactly fills bin 0
+    assert out[11] == (1, 0, 1)    # next doc starts the next bin
+    with pytest.raises(ValueError, match="seq_len"):
+        CU.pack_documents(d, 0, "n_tokens")
