@@ -885,6 +885,115 @@ WHERE k.doc_id NOT IN (SELECT id_b FROM ({near}) nd)
 """
 
 
+def corpus_curation_pipeline(spark, sf):
+    """The FULL corpus-curation flow end-to-end — what a pretraining
+    data pipeline runs between raw crawl and tokenizer, composed from
+    the engine's curation operators with one oracle over the whole
+    chain:
+
+      exact dedup -> minhash-LSH near-dup removal -> eval-slice
+      decontamination (drop train docs leaking eval 3-grams at
+      containment >= 0.5) -> weighted mixture sampling (src0-3 kept
+      whole, everything else at 30%) -> concat-and-chunk packing into
+      128-token bins per source shard.
+
+    Returns the packed layout (source, doc_id, n_tokens, bin_id,
+    bin_offset, n_bins) for the surviving documents."""
+    docs = t(spark, sf, "documents")
+    keepers = DD.exact_dedup(docs).select(F.col("keeper_doc_id").alias("doc_id"))
+    kept_docs = docs.join(keepers, "doc_id")
+    near = DD.minhash_lsh_candidates(
+        kept_docs, n_hashes=64, bands=16, min_jaccard_est=0.7, hash_fn="md5_48"
+    )
+    dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
+    cleaned = kept_docs.join(dropped, "doc_id", "left_anti")
+
+    train = cleaned.where(F.col("doc_id") % 25 != 0)
+    eval_slice = docs.where(F.col("doc_id") % 25 == 0)
+    leaks = (
+        CU.contamination_pairs(train, eval_slice, shingle_n=3, min_containment=0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    decontaminated = train.join(leaks, "doc_id", "left_anti")
+
+    mixed = CU.weighted_mixture_sample(
+        decontaminated,
+        {f"src{i}": 1.0 for i in range(4)},
+        group_col="source", key_col="doc_id", hash_fn="md5_48",
+        default_weight=0.3,
+    )
+    tok = mixed.select(
+        "doc_id", "source", TXT.token_count("text").cast("long").alias("n_tokens")
+    )
+    return CU.pack_documents(tok, 128, "n_tokens", shard_col="source").select(
+        "source", "doc_id", "n_tokens", "bin_id", "bin_offset", "n_bins"
+    )
+
+
+def _corpus_curation_sql() -> str:
+    near = _minhash_sql(min_est=0.7).replace("FROM documents", "FROM kept")
+    shingle = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) - 2, 1) + 1), "
+        "i -> concat_ws(' ', "
+        "regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')[i], "
+        "regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')[i+1], "
+        "regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')[i+2])))"
+    )
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+), kept AS (
+  SELECT d.* FROM documents d JOIN keepers k USING (doc_id)
+), cleaned AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id NOT IN (SELECT id_b FROM ({near}) nd)
+), train AS (
+  SELECT * FROM cleaned WHERE doc_id % 25 <> 0
+), testset AS (
+  SELECT * FROM documents WHERE doc_id % 25 = 0
+), ex_tr AS (
+  SELECT doc_id, unnest({shingle}) AS s FROM train
+), sh_te AS (
+  SELECT doc_id, {shingle} AS shingles FROM testset
+), ex_te AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh_te
+), leaks AS (
+  SELECT DISTINCT tr.doc_id
+  FROM ex_te te JOIN ex_tr tr ON tr.s = te.s
+  GROUP BY te.doc_id, tr.doc_id, te.n
+  HAVING ROUND(COUNT(*) * 1.0 / te.n, 6) >= 0.5
+), decon AS (
+  SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM leaks)
+), mixed AS (
+  SELECT * FROM decon
+  WHERE ('0x' || substr(md5(7 || ':' || doc_id), 1, 12))::BIGINT % 1000000 <
+        CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+             THEN 1000000 ELSE 300000 END
+), tok AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM mixed
+), st AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
+  FROM tok
+)
+SELECT source, doc_id, n_tokens,
+       s0 // 128 AS bin_id,
+       s0 % 128 AS bin_offset,
+       ((s0 + n_tokens + 127) // 128) - (s0 // 128) AS n_bins
+FROM st
+"""
+
+
 def minhash_lsh_docs(spark, sf):
     """MinHash+LSH near-dup candidates, md5_48-hashed so the full
     shingle->signature->band->bucket-join pipeline is DuckDB-verifiable
@@ -1534,5 +1643,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_sequences_docs": QuerySpec(
         pack_sequences_docs, PACK_SQL,
         "concat-and-chunk sequence packing plan (per-shard cumsum)"
+    ),
+    "corpus_curation_pipeline": QuerySpec(
+        corpus_curation_pipeline, _corpus_curation_sql(),
+        "full curation chain: dedup -> decontaminate -> mixture -> pack"
     ),
 }
