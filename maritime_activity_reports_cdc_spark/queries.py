@@ -827,10 +827,11 @@ WITH d AS (
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
   FROM documents
 ), s AS (
+  -- window SUM returns HUGEINT; cast back so every output is BIGINT
   SELECT doc_id, source, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
   FROM d
 )
 SELECT source, doc_id, n_tokens,
@@ -980,10 +981,11 @@ WITH fp AS (
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
   FROM mixed
 ), st AS (
+  -- window SUM returns HUGEINT; cast back so every output is BIGINT
   SELECT doc_id, source, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s0
   FROM tok
 )
 SELECT source, doc_id, n_tokens,
