@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from maritime_activity_reports_cdc_spark.functions import text as TXT
 from maritime_activity_reports_cdc_spark.operators import curation as CU
 from maritime_activity_reports_cdc_spark.operators import dedup as DD
+from maritime_activity_reports_cdc_spark.operators import retrieval as RT
 from maritime_activity_reports_cdc_spark.operators import similarity as SIM
 from maritime_activity_reports_cdc_spark.operators.apply import dedup_latest
 
@@ -1567,6 +1568,143 @@ SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
 
 
 # ---------------------------------------------------------------------------
+# retrieval: BM25 keyword search + hybrid sparse/dense fusion
+# ---------------------------------------------------------------------------
+
+# fixed query set (terms drawn from the synthetic corpus vocabulary so
+# document frequencies differ per term and the ranking is non-trivial)
+RETRIEVAL_QUERIES = [
+    (0, "fast merge join order"),
+    (1, "customer window scan"),
+    (2, "slow batch stream value"),
+]
+
+
+def _retrieval_queries_df(spark):
+    return spark.createDataFrame(
+        RETRIEVAL_QUERIES, "query_id bigint, qtext string"
+    )
+
+
+def bm25_topk_docs(spark, sf):
+    """Okapi BM25 keyword top-10 per query over the documents corpus:
+    postings + doc-length stats from one corpus pass, query terms
+    broadcast, per-term weights summed as exact 7-dp decimals so the
+    ranking is bit-stable across engines."""
+    return RT.bm25_topk(
+        t(spark, sf, "documents"), _retrieval_queries_df(spark), k=10
+    )
+
+
+def _bm25_ctes(k: int) -> str:
+    """Shared DuckDB CTE block computing BM25 top-``k`` as ``sparse``.
+
+    Arithmetic written in the exact operation order / typing of the
+    Spark plan: every division is double (DuckDB promotes), the one
+    non-binary-exact constant (k1+1 = 2.2) is cast to DOUBLE so DuckDB
+    does not multiply it as an exact decimal, and per-term weights are
+    rounded to 7 dp and summed as DECIMAL(20,7) on both engines."""
+    vals = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in RETRIEVAL_QUERIES)
+    k1, b = RT.BM25_K1, RT.BM25_B
+    return f"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), tt AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tt GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+), q(query_id, qtext) AS (VALUES {vals}),
+qt AS (
+  SELECT DISTINCT query_id, t FROM (
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           unnest(string_split(lower(regexp_replace(trim(qtext), '\\s+', ' ', 'g')), ' ')) AS t
+    FROM q)
+), dfreq AS (
+  SELECT tt.t, CAST(COUNT(*) AS BIGINT) AS dfreq
+  FROM tt WHERE tt.t IN (SELECT t FROM qt) GROUP BY 1
+), contrib AS (
+  SELECT qt.query_id, tt.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (stats.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+           * (tt.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+           / (tt.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl / stats.avgdl)),
+           {RT.BM25_SCALE}) AS DECIMAL(20,{RT.BM25_SCALE})) AS w
+  FROM qt
+  JOIN tt ON tt.t = qt.t
+  JOIN dfreq ON dfreq.t = qt.t
+  JOIN dl ON dl.doc_id = tt.doc_id
+  CROSS JOIN stats
+), scores AS (
+  SELECT query_id, doc_id, CAST(SUM(w) AS DOUBLE) AS score
+  FROM contrib GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+  FROM scores
+), sparse AS (
+  SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, score
+  FROM ranked WHERE rk <= {k}
+)"""
+
+
+BM25_SQL = f"WITH {_bm25_ctes(10)}\nSELECT query_id, doc_id, rk, score FROM sparse"
+
+
+def hybrid_rrf_docs(spark, sf):
+    """Hybrid retrieval, the standard RAG pattern: BM25 keyword top-20
+    (documents.text) and dense cosine top-20 (the document's embedding,
+    doc_id = vec_id) fused by reciprocal rank fusion into a final
+    top-10 per query — rank-only fusion, so the two scorers never need
+    score calibration. Query vectors are the embeddings of the query
+    ids themselves (a stand-in for an encoded user query)."""
+    docs = t(spark, sf, "documents")
+    emb = t(spark, sf, "embeddings")
+    sparse = RT.bm25_topk(docs, _retrieval_queries_df(spark), k=20).select(
+        "query_id", "doc_id", "rk"
+    )
+    qvec = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dense = SIM.brute_force_topk(emb, qvec, k=20).select(
+        F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rk"
+    )
+    return RT.rrf_fuse(sparse, dense, k=10)
+
+
+HYBRID_RRF_SQL = f"""
+WITH {_bm25_ctes(20)},
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+dsims AS (
+  SELECT qv.qid, e.vec_id AS nid,
+         list_cosine_similarity(CAST(qv.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM qv, embeddings e WHERE e.vec_id <> qv.qid
+), dr AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM dsims
+), dense AS (
+  SELECT CAST(qid AS BIGINT) AS query_id, nid AS doc_id, CAST(rk AS BIGINT) AS rk
+  FROM dr WHERE rk <= 20
+), fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + s.rk), 0.0)
+               + COALESCE(1.0 / (60 + d.rk), 0.0), 6) AS rrf
+  FROM sparse s FULL OUTER JOIN dense d
+    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+), fr AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+  FROM fused
+)
+SELECT query_id, doc_id, rrf, CAST(rk AS BIGINT) AS rk FROM fr WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1649,5 +1787,12 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_pipeline": QuerySpec(
         corpus_curation_pipeline, _corpus_curation_sql(),
         "full curation chain: dedup -> decontaminate -> mixture -> pack"
+    ),
+    "bm25_topk_docs": QuerySpec(
+        bm25_topk_docs, BM25_SQL, "Okapi BM25 keyword top-k search"
+    ),
+    "hybrid_rrf_docs": QuerySpec(
+        hybrid_rrf_docs, HYBRID_RRF_SQL,
+        "hybrid BM25 + dense-cosine retrieval fused by RRF"
     ),
 }

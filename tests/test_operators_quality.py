@@ -533,3 +533,98 @@ def test_pack_documents_concat_and_chunk_layout(spark):
     assert out[11] == (1, 0, 1)    # next doc starts the next bin
     with pytest.raises(ValueError, match="seq_len"):
         CU.pack_documents(d, 0, "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# retrieval: BM25 + RRF hybrid fusion
+# ---------------------------------------------------------------------------
+
+
+def _bm25_expected(tf, dfreq, n_docs, dl, avgdl, k1=1.2, b=0.75):
+    import math
+
+    idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+    return round(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)), 7)
+
+
+def test_bm25_scores_match_hand_computation(spark):
+    from maritime_activity_reports_cdc_spark.operators import retrieval as RT
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana cherry cherry date"),
+            (4, "elderberry fig"),  # matches nothing
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple date")], "query_id long, qtext string")
+    got = {
+        r.doc_id: r.score for r in RT.bm25_scores(corpus, q).collect()
+    }
+    # N=4, dl: d1=3 d2=2 d3=4 d4=2, avgdl=11/4; df(apple)=2, df(date)=1
+    n, avgdl = 4, 11 / 4
+    exp = {
+        1: _bm25_expected(2, 2, n, 3, avgdl),
+        2: _bm25_expected(1, 2, n, 2, avgdl),
+        3: _bm25_expected(1, 1, n, 4, avgdl),
+    }
+    assert set(got) == {1, 2, 3}  # d4 shares no term -> absent
+    for d, e in exp.items():
+        assert abs(got[d] - e) < 1e-6, (d, got[d], e)
+    # rarer term (date, df=1) outweighs a single common term (apple, df=2)
+    assert got[3] > got[2]
+    # higher tf of the same term scores higher (d1 vs d2 both match apple)
+    assert got[1] > got[2]
+
+
+def test_bm25_topk_rank_order_and_cutoff(spark):
+    from maritime_activity_reports_cdc_spark.operators import retrieval as RT
+
+    corpus = spark.createDataFrame(
+        [(i, "filler words only") for i in range(10, 20)]
+        + [(1, "spark shuffle spark"), (2, "spark shuffle"), (3, "spark filler")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "spark shuffle")], "query_id long, qtext string"
+    )
+    rows = RT.bm25_topk(corpus, q, k=2).orderBy("rk").collect()
+    assert [r.doc_id for r in rows] == [1, 2]  # best two, k cuts the rest
+    assert [r.rk for r in rows] == [1, 2]
+    assert rows[0].score > rows[1].score
+
+
+def test_rrf_fuse_rewards_presence_in_both_lists(spark):
+    from maritime_activity_reports_cdc_spark.operators import retrieval as RT
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rk long"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rk long"
+    )
+    rows = RT.rrf_fuse(a, b, k=10).orderBy("rk").collect()
+    # doc 11 is in both lists -> 1/62 + 1/61 beats either single-list doc
+    assert [r.doc_id for r in rows] == [11, 10, 12]
+    assert abs(rows[0].rrf - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(rows[1].rrf - round(1 / 61, 6)) < 1e-9
+    assert abs(rows[2].rrf - round(1 / 62, 6)) < 1e-9
+
+
+def test_bm25_precomputed_postings_match_inline(spark):
+    from maritime_activity_reports_cdc_spark.operators import retrieval as RT
+
+    corpus = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "banana date")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple date")], "query_id long, qtext string")
+    inline = {(r.doc_id, r.rk) for r in RT.bm25_topk(corpus, q, k=3).collect()}
+    idx = RT.term_table(corpus)  # the persisted-index path
+    via_idx = {
+        (r.doc_id, r.rk)
+        for r in RT.bm25_topk(corpus, q, k=3, postings=idx).collect()
+    }
+    assert inline == via_idx and inline
