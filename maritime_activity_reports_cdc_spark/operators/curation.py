@@ -259,6 +259,66 @@ def pack_documents(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    windows of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens - overlap_tokens`` — the step between curation and
+    embedding/indexing in a retrieval pipeline. Returns one row per
+    chunk: ``(id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text)``.
+
+    Chunk count is exact integer arithmetic (every window past the
+    first must introduce at least one new token; short documents yield
+    exactly one chunk), so the layout is engine-reproducible with no
+    float ceil. All column algebra: one tokenize, one ``sequence``
+    explode, one ``slice`` + ``array_join`` per chunk — cost
+    O(tokens x chunks/token), embarrassingly parallel per document,
+    no shuffle at all (a stateless generator, like `hash_sample`)."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+        )
+    from maritime_activity_reports_cdc_spark.operators.dedup import normalize_text
+
+    stride = chunk_tokens - overlap_tokens
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalize_text(text_col), " ").alias("_w"),
+    ).withColumn("_n", F.size("_w").cast("long"))
+    n_chunks = F.expr(
+        f"greatest((_n - {overlap_tokens} + {stride - 1}) div {stride}, 1)"
+    )
+    return (
+        toks.withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        )
+        .withColumn("chunk_start", F.col("chunk_idx") * stride)
+        .select(
+            F.col("_id").alias(id_col),
+            "chunk_idx",
+            "chunk_start",
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("_w"),
+                    (F.col("chunk_start") + 1).cast("int"),
+                    chunk_tokens,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str = "source",

@@ -1567,6 +1567,35 @@ SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
 """
 
 
+def chunk_docs(spark, sf):
+    """RAG-style sliding-window chunking of the documents corpus:
+    32-token windows advancing by 24 (8-token overlap) — exact integer
+    layout, one row per chunk with its text."""
+    return CU.chunk_documents(
+        t(spark, sf, "documents"), chunk_tokens=32, overlap_tokens=8
+    )
+
+
+CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t
+), c AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, greatest((n - 8 + 23) // 24, 1))) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+       CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # retrieval: BM25 keyword search + hybrid sparse/dense fusion
 # ---------------------------------------------------------------------------
@@ -1787,6 +1816,10 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_pipeline": QuerySpec(
         corpus_curation_pipeline, _corpus_curation_sql(),
         "full curation chain: dedup -> decontaminate -> mixture -> pack"
+    ),
+    "chunk_docs": QuerySpec(
+        chunk_docs, CHUNK_SQL,
+        "RAG sliding-window chunking (32-token windows, 8 overlap)"
     ),
     "bm25_topk_docs": QuerySpec(
         bm25_topk_docs, BM25_SQL, "Okapi BM25 keyword top-k search"

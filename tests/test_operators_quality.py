@@ -535,6 +535,47 @@ def test_pack_documents_concat_and_chunk_layout(spark):
         CU.pack_documents(d, 0, "n_tokens")
 
 
+def test_chunk_documents_sliding_window_layout(spark):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),   # 10 tokens
+            (2, "  A  b "),                          # 2 tokens, messy spacing
+            (3, "x0 x1 x2 x3"),                      # exactly chunk_tokens
+            (4, "y0 y1 y2 y3 y4"),                   # one token past a window
+        ],
+        "doc_id long, text string",
+    )
+    out = CU.chunk_documents(docs, chunk_tokens=4, overlap_tokens=1)
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    # stride 3: 10 tokens -> chunks at 0, 3, 6 (last covers tokens 6..9)
+    assert rows[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (3, 4, "t3 t4 t5 t6")   # 1-token overlap
+    assert rows[(1, 2)] == (6, 4, "t6 t7 t8 t9")
+    assert (1, 3) not in rows
+    # short doc -> exactly one (partial) chunk, text normalized
+    assert rows[(2, 0)] == (0, 2, "a b")
+    # exactly one window, no empty trailing chunk
+    assert rows[(3, 0)] == (0, 4, "x0 x1 x2 x3")
+    assert (3, 1) not in rows
+    # 5 tokens -> second chunk holds the 2-token tail
+    assert rows[(4, 1)] == (3, 2, "y3 y4")
+    # every token of doc 1 appears in some chunk (full coverage)
+    covered = set()
+    for (d, _), (start, n, _t) in rows.items():
+        if d == 1:
+            covered.update(range(start, start + n))
+    assert covered == set(range(10))
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        CU.chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        CU.chunk_documents(docs, chunk_tokens=0)
+
+
 # ---------------------------------------------------------------------------
 # retrieval: BM25 + RRF hybrid fusion
 # ---------------------------------------------------------------------------
