@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from maritime_activity_reports_cdc_spark.functions import text as TXT
 from maritime_activity_reports_cdc_spark.operators import curation as CU
 from maritime_activity_reports_cdc_spark.operators import dedup as DD
+from maritime_activity_reports_cdc_spark.operators import graph as GR
 from maritime_activity_reports_cdc_spark.operators import retrieval as RT
 from maritime_activity_reports_cdc_spark.operators import similarity as SIM
 from maritime_activity_reports_cdc_spark.operators.apply import dedup_latest
@@ -1596,6 +1597,49 @@ FROM c
 """
 
 
+def neardup_cluster_docs(spark, sf):
+    """Transitive near-dup clustering: minhash-LSH candidate pairs
+    folded into connected components (iterative min-label propagation),
+    minimum doc id per cluster elected canonical. The oracle twin is a
+    recursive CTE computing the exact same min-reachable-id closure —
+    an iterative Spark loop verified against set-semantics SQL."""
+    docs = t(spark, sf, "documents")
+    pairs = DD.minhash_lsh_candidates(
+        docs, n_hashes=64, bands=16, min_jaccard_est=0.2, hash_fn="md5_48"
+    ).persist()
+    try:
+        return GR.neardup_clusters(docs, pairs)
+    finally:
+        # the component labels are localCheckpoint'ed inside
+        # connected_components, so the returned plan no longer reads pairs
+        pairs.unpersist()
+
+
+def _neardup_cluster_sql() -> str:
+    return f"""
+WITH RECURSIVE cand AS (
+  {_minhash_sql()}
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM cand
+  UNION
+  SELECT id_b AS s, id_a AS d FROM cand
+), reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+), sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # retrieval: BM25 keyword search + hybrid sparse/dense fusion
 # ---------------------------------------------------------------------------
@@ -1816,6 +1860,10 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_pipeline": QuerySpec(
         corpus_curation_pipeline, _corpus_curation_sql(),
         "full curation chain: dedup -> decontaminate -> mixture -> pack"
+    ),
+    "neardup_cluster_docs": QuerySpec(
+        neardup_cluster_docs, _neardup_cluster_sql(),
+        "transitive near-dup clusters (connected components vs recursive CTE)"
     ),
     "chunk_docs": QuerySpec(
         chunk_docs, CHUNK_SQL,

@@ -535,6 +535,47 @@ def test_pack_documents_concat_and_chunk_layout(spark):
         CU.pack_documents(d, 0, "n_tokens")
 
 
+def test_connected_components_chain_and_singleton(spark):
+    from maritime_activity_reports_cdc_spark.operators import graph as GR
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], "id long")
+    # chain 3-2-1 (given in mixed orientation) + pair 7-8; 9 isolated
+    edges = spark.createDataFrame([(3, 2), (1, 2), (7, 8)], "src long, dst long")
+    comp = {
+        r.id: r.component
+        for r in GR.connected_components(nodes, edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_long_chain_converges_and_guards(spark):
+    from maritime_activity_reports_cdc_spark.operators import graph as GR
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = GR.connected_components(nodes, edges).collect()
+    assert {r.component for r in out} == {0} and len(out) == n
+    with pytest.raises(RuntimeError, match="did not converge"):
+        GR.connected_components(nodes, edges, max_iter=2)
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    from maritime_activity_reports_cdc_spark.operators import graph as GR
+
+    docs = spark.createDataFrame([(i,) for i in [10, 11, 12, 20, 30]], "doc_id long")
+    # 10~11 and 11~12 but never 10~12: transitivity must merge all three
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in GR.neardup_clusters(docs, pairs).collect()}
+    assert {d: r.cluster_id for d, r in rows.items()} == \
+        {10: 10, 11: 10, 12: 10, 20: 20, 30: 30}
+    assert rows[11].cluster_size == 3 and not rows[11].is_canonical
+    assert rows[10].is_canonical and rows[20].is_canonical
+    assert rows[20].cluster_size == 1
+
+
 def test_chunk_documents_sliding_window_layout(spark):
     from maritime_activity_reports_cdc_spark.operators import curation as CU
 
