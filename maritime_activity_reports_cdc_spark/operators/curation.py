@@ -341,3 +341,121 @@ def quota_sample(
         .where(F.col("_qrk") <= n_per_group)
         .drop("_qrk")
     )
+
+
+# PII scrub patterns: (column suffix, regex, replacement token), applied
+# IN ORDER with each count taken on the already-partially-redacted text
+# (so a digit run consumed by an earlier pattern is never double-counted).
+# Kept to lookaround-free syntax valid in both Java regex (Spark) and
+# RE2 (DuckDB/Go scanners) so the scrub is engine-reproducible.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]?\d{3}[ -]?\d{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII spans from ``text_col``, keeping per-pattern match
+    counts for audit (the curation step every public-web corpus runs
+    before training). Replaces the text column with its redacted form
+    and adds one ``n_<name>`` BIGINT column per pattern.
+
+    Pure column algebra — ``regexp_count`` + ``regexp_replace`` chains,
+    fully codegen'd, zero shuffles: a stateless map over the corpus that
+    composes with any scan. Pattern list is caller-extensible (SSNs,
+    credit cards, secrets) under the same two-engine regex subset."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in patterns:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        *counts,
+        cur.alias(text_col),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality stats (Rae et al. 2021 §A1.1):
+    the fraction of tokens that are repeats of an earlier token and the
+    fraction of all bigrams taken by the single most frequent bigram —
+    the two cheap signals that catch boilerplate/spam/keyword-stuffed
+    documents. Returns ``(id, n_tokens, dup_word_frac,
+    top_bigram_frac, keep)``.
+
+    The duplicate-word fraction is shuffle-free array algebra
+    (``array_distinct`` inside codegen); the bigram mode uses
+    explode + two partial-agg ``groupBy`` rounds rather than per-row
+    O(n^2) array scans — at corpus scale the shuffle is on (doc,
+    bigram) keys and combines map-side, so no single document's token
+    count inflates a task. Single-token documents keep by definition."""
+    from maritime_activity_reports_cdc_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalize_text(text_col), " ").alias("_w"),
+    ).withColumn("_n", F.size("_w").cast("long"))
+    base = toks.select(
+        "_id",
+        "_n",
+        F.round(
+            F.when(
+                F.col("_n") > 0,
+                (F.col("_n") - F.size(F.array_distinct("_w"))) / F.col("_n"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        "_w",
+    )
+    bigram = (
+        base.select(
+            "_id",
+            # sequence(1, 0) is DESCENDING in Spark, not empty -> guard
+            # single-token docs explicitly (explode of array() drops them;
+            # the left join re-admits them with a 0.0 bigram fraction)
+            F.explode(
+                F.expr(
+                    "if(_n < 2, array(), "
+                    "transform(sequence(1, _n - 1), i -> concat(_w[i-1], ' ', _w[i])))"
+                )
+            ).alias("_bg"),
+        )
+        .groupBy("_id", "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.max("_c").alias("_top"),
+            F.sum("_c").alias("_total"),
+        )
+    )
+    return (
+        base.drop("_w")
+        .join(bigram, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").alias("n_tokens"),
+            "dup_word_frac",
+            F.round(
+                F.coalesce(F.col("_top") / F.col("_total"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+        # thresholds compare the ROUNDED fractions (what the row reports,
+        # and what an external engine reproduces digit-for-digit)
+        .withColumn(
+            "keep",
+            (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+        )
+    )

@@ -1640,6 +1640,89 @@ FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
+def scrub_pii_docs(spark, sf):
+    """PII redaction with audit counts. The corpus is synthetic and
+    clean, so deterministic PII (email + phone + IP derived from
+    doc_id) is injected identically on both engines first — the scrub
+    chain itself (ordered regexp_count + regexp_replace) then runs on
+    text that genuinely contains matches."""
+    docs = t(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.2."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return CU.scrub_pii(injected)
+
+
+def _scrub_pii_sql() -> str:
+    aug = (
+        "SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or +1 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.7' AS text"
+        " FROM documents"
+    )
+    ctes = [f"s0 AS ({aug})"]
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(CU.PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, {', '.join(carried) + ', ' if carried else ''}"
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(text, '{pat}', '{token}', 'g') AS text FROM s{i})"
+        )
+        carried.append(f"n_{name}")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {', '.join(carried)}, text FROM s{len(CU.PII_PATTERNS)}"
+    )
+
+
+def repetition_filter_docs(spark, sf):
+    """Gopher-style repetition quality stats: duplicate-word fraction
+    (shuffle-free array algebra) + most-frequent-bigram fraction
+    (explode + partial-agg groupBy) with keep thresholds on the
+    rounded, externally-reproducible values."""
+    return CU.repetition_stats(t(spark, sf, "documents"))
+
+
+REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         ROUND(CASE WHEN len(w) > 0
+               THEN (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE)
+               ELSE 0.0 END, 6) AS dup_word_frac,
+         w
+  FROM words
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM base
+), counts AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+), agg AS (
+  SELECT doc_id, MAX(c) AS top, SUM(c) AS total FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+       ROUND(COALESCE(a.top / CAST(a.total AS DOUBLE), 0.0), 6) AS top_bigram_frac,
+       (b.dup_word_frac <= 0.6
+        AND ROUND(COALESCE(a.top / CAST(a.total AS DOUBLE), 0.0), 6) <= 0.18) AS keep
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # retrieval: BM25 keyword search + hybrid sparse/dense fusion
 # ---------------------------------------------------------------------------
@@ -1860,6 +1943,14 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_pipeline": QuerySpec(
         corpus_curation_pipeline, _corpus_curation_sql(),
         "full curation chain: dedup -> decontaminate -> mixture -> pack"
+    ),
+    "scrub_pii_docs": QuerySpec(
+        scrub_pii_docs, _scrub_pii_sql(),
+        "PII redaction with per-pattern audit counts"
+    ),
+    "repetition_filter_docs": QuerySpec(
+        repetition_filter_docs, REPETITION_SQL,
+        "Gopher-style repetition quality stats + keep flag"
     ),
     "neardup_cluster_docs": QuerySpec(
         neardup_cluster_docs, _neardup_cluster_sql(),

@@ -535,6 +535,46 @@ def test_pack_documents_concat_and_chunk_layout(spark):
         CU.pack_documents(d, 0, "n_tokens")
 
 
+def test_scrub_pii_redacts_and_counts_in_order(spark):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, call +44 123-4567, host 10.0.0.1 ok"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in CU.scrub_pii(d).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_phone == 1 and rows[1].n_ip == 1
+    assert rows[1].text == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> ok"
+    )
+    assert rows[2].n_email == rows[2].n_phone == rows[2].n_ip == 0
+    assert rows[2].text == "nothing sensitive here"
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from maritime_activity_reports_cdc_spark.operators import curation as CU
+
+    d = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),       # pure boilerplate
+            (2, "the quick brown fox jumps over dogs"),   # clean
+            (3, "solo"),                                  # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in CU.repetition_stats(d).collect()}
+    # doc 1: 8 tokens, 2 distinct -> dup 0.75; bigrams: 'buy now' x4,
+    # 'now buy' x3 of 7 -> top 4/7
+    assert rows[1].n_tokens == 8 and rows[1].dup_word_frac == 0.75
+    assert rows[1].top_bigram_frac == round(4 / 7, 6) and not rows[1].keep
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[2].top_bigram_frac == round(1 / 6, 6) and rows[2].keep
+    assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0 and rows[3].keep
+
+
 def test_connected_components_chain_and_singleton(spark):
     from maritime_activity_reports_cdc_spark.operators import graph as GR
 
