@@ -564,3 +564,84 @@ def knn_classify(
         .where(F.col("_r") == 1)
         .select("qid", F.col(label_col).alias("predicted_label"))
     )
+
+
+def kmeans_embeddings(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means over an embedding column — the semantic-
+    clustering primitive behind cluster-based corpus curation (SemDeDup
+    / cluster-balanced mixture selection): assign each vector to its
+    max-cosine centroid, recompute centroids as the elementwise mean of
+    their members, repeat ``n_iter`` times. Cosine's own norm division
+    makes mean-update + cosine-assign exactly spherical k-means (no
+    explicit renormalization step).
+
+    Fully deterministic and engine-reproducible: seeds are the IVF
+    strip-quantizer (id range split into k strips, each strip's min-id
+    vector — layout independent, no RNG) and every updated centroid
+    component is ROUNDED to 6 decimals so double-summation order across
+    engines cannot leak into the next assignment; ties in assignment
+    break by cluster id. A fixed small ``n_iter`` keeps the plan an
+    unrolled chain a SQL oracle replicates literally; production
+    convergence loops just raise ``n_iter``.
+
+    Scale shape per iteration: assignment is a broadcast join against k
+    centroids (no vector shuffle) + a groupBy(id) argmax; the update is
+    posexplode -> partial-agg avg on (cluster, dim) keys -> k-row
+    reassembly. Nothing is ever collected to the driver; centroids stay
+    a k-row frame. Returns ``(id, cluster, sim)`` from the FINAL
+    assignment (sim rounded to 6)."""
+    if k <= 0 or n_iter <= 0:
+        raise ValueError(f"k and n_iter must be positive, got k={k} n_iter={n_iter}")
+    lo, hi = vectors.agg(F.min(id_col), F.max(id_col)).collect()[0]
+    if lo is None:
+        raise ValueError("kmeans_embeddings: vectors frame is empty")
+    span = int(hi) - int(lo) + 1
+    strip = F.expr(f"(({id_col} - {int(lo)}) * {int(k)}) div {span}")
+    seed_ids = vectors.groupBy(strip.alias("_cell")).agg(F.min(id_col).alias("_cid"))
+    cent = (
+        vectors.join(F.broadcast(seed_ids), F.col(id_col) == F.col("_cid"))
+        .select(
+            "_cell",
+            F.transform(vec_col, lambda x: F.round(x.cast("double"), 6)).alias("_cvec"),
+        )
+    )
+
+    def _assign(c: DataFrame) -> DataFrame:
+        scored = vectors.join(F.broadcast(c)).withColumn(
+            "_csim", cosine_similarity(F.col(vec_col), F.col("_cvec"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), "_cell")
+        return (
+            scored.withColumn("_crk", F.row_number().over(w))
+            .where(F.col("_crk") == 1)
+            .select(id_col, vec_col, "_cell", "_csim")
+        )
+
+    assigned = _assign(cent)
+    for _ in range(n_iter - 1):
+        new_cent = (
+            assigned.select("_cell", F.posexplode(vec_col).alias("_p", "_x"))
+            .groupBy("_cell", "_p")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cvec")
+            )
+        )
+        assigned = _assign(new_cent)
+    return assigned.select(
+        id_col,
+        F.col("_cell").cast("long").alias("cluster"),
+        # 4 dp like every other sim output in this module: coarse enough
+        # that engine-side dot/norm summation order can never show
+        F.round("_csim", 4).alias("sim"),
+    )

@@ -1640,6 +1640,45 @@ FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
+def kmeans_embeddings_q(spark, sf):
+    """Spherical k-means semantic clustering (SemDeDup-style): strip-
+    quantizer seeds, one mean-update round, final max-cosine assignment.
+    The oracle unrolls the identical two iterations with explicit
+    per-dimension averages."""
+    return SIM.kmeans_embeddings(t(spark, sf, "embeddings"), k=8, n_iter=2)
+
+
+def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
+    avgs = ", ".join(f"round(avg(e.e[{i + 1}]), 6)" for i in range(dim))
+    assign = (
+        "SELECT el.vec_id, c.cell, list_cosine_similarity(el.e, c.cvec) AS sim, "
+        "row_number() OVER (PARTITION BY el.vec_id "
+        "ORDER BY list_cosine_similarity(el.e, c.cvec) DESC, c.cell) AS crk "
+        "FROM elems el CROSS JOIN {cent} c"
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), b AS (
+  SELECT MIN(vec_id) AS lo, MAX(vec_id) - MIN(vec_id) + 1 AS span FROM elems
+), cent_ids AS (
+  SELECT ((vec_id - (SELECT lo FROM b)) * {k}) // (SELECT span FROM b) AS cell,
+         MIN(vec_id) AS cid
+  FROM elems GROUP BY 1
+), c0 AS (
+  SELECT ci.cell, list_transform(e.e, x -> round(x, 6)) AS cvec
+  FROM cent_ids ci JOIN elems e ON e.vec_id = ci.cid
+), a0 AS (
+  SELECT vec_id, cell FROM ({assign.format(cent='c0')}) WHERE crk = 1
+), c1 AS (
+  SELECT a.cell, list_value({avgs}) AS cvec
+  FROM a0 a JOIN elems e USING (vec_id) GROUP BY a.cell
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cluster, ROUND(sim, 4) AS sim
+FROM ({assign.format(cent='c1')}) WHERE crk = 1
+"""
+
+
 def scrub_pii_docs(spark, sf):
     """PII redaction with audit counts. The corpus is synthetic and
     clean, so deterministic PII (email + phone + IP derived from
@@ -1943,6 +1982,10 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_pipeline": QuerySpec(
         corpus_curation_pipeline, _corpus_curation_sql(),
         "full curation chain: dedup -> decontaminate -> mixture -> pack"
+    ),
+    "kmeans_embeddings": QuerySpec(
+        kmeans_embeddings_q, _kmeans_sql(),
+        "spherical k-means semantic clustering (2 unrolled iterations)"
     ),
     "scrub_pii_docs": QuerySpec(
         scrub_pii_docs, _scrub_pii_sql(),

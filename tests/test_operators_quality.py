@@ -535,6 +535,26 @@ def test_pack_documents_concat_and_chunk_layout(spark):
         CU.pack_documents(d, 0, "n_tokens")
 
 
+def test_kmeans_embeddings_separates_planted_clusters(spark):
+    rows = []
+    for i in range(4):       # cluster around x-axis
+        rows.append((i, [1.0, 0.02 * i, 0.0, 0.01]))
+    for i in range(4, 8):    # cluster around y-axis
+        rows.append((i, [0.01, 1.0, 0.02 * (i - 4), 0.0]))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in SIM.kmeans_embeddings(d, k=2, n_iter=2).collect()}
+    a = {v for v, r in out.items() if r.cluster == out[0].cluster}
+    assert a == {0, 1, 2, 3} and len(out) == 8
+    assert all(r.sim > 0.99 for r in out.values())
+    # already converged: a third iteration must not move anything
+    out3 = {r.vec_id: r.cluster for r in SIM.kmeans_embeddings(d, k=2, n_iter=3).collect()}
+    assert out3 == {v: r.cluster for v, r in out.items()}
+    with pytest.raises(ValueError, match="positive"):
+        SIM.kmeans_embeddings(d, k=0)
+    with pytest.raises(ValueError, match="empty"):
+        SIM.kmeans_embeddings(d.where("vec_id < 0"), k=2)
+
+
 def test_scrub_pii_redacts_and_counts_in_order(spark):
     from maritime_activity_reports_cdc_spark.operators import curation as CU
 
