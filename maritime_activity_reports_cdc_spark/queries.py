@@ -1679,6 +1679,36 @@ FROM ({assign.format(cent='c1')}) WHERE crk = 1
 """
 
 
+def cluster_balanced_sample_q(spark, sf):
+    """Cluster-balanced diversity selection: spherical k-means over the
+    embeddings, then an at-most-N-per-cluster quota by deterministic
+    keyed hash — the 'semantic stratified sampling' used to keep corpus
+    mixtures from collapsing onto dense regions of embedding space.
+    Composes two already-verified operators under one end-to-end oracle."""
+    emb = t(spark, sf, "embeddings")
+    clusters = SIM.kmeans_embeddings(emb, k=8, n_iter=2).select("vec_id", "cluster")
+    return CU.quota_sample(
+        clusters, group_col="cluster", n_per_group=30, key_col="vec_id",
+        seed=7, hash_fn="md5_48",
+    )
+
+
+def _cluster_balanced_sql() -> str:
+    return f"""
+WITH km AS (
+  {_kmeans_sql()}
+), r AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY ('0x' || substr(md5(7 || ':' || vec_id), 1, 12))::BIGINT, vec_id
+         ) AS rk
+  FROM km
+)
+SELECT vec_id, cluster FROM r WHERE rk <= 30
+"""
+
+
 def scrub_pii_docs(spark, sf):
     """PII redaction with audit counts. The corpus is synthetic and
     clean, so deterministic PII (email + phone + IP derived from
@@ -1986,6 +2016,10 @@ QUERIES: dict[str, QuerySpec] = {
     "kmeans_embeddings": QuerySpec(
         kmeans_embeddings_q, _kmeans_sql(),
         "spherical k-means semantic clustering (2 unrolled iterations)"
+    ),
+    "cluster_balanced_sample": QuerySpec(
+        cluster_balanced_sample_q, _cluster_balanced_sql(),
+        "k-means clusters + per-cluster quota (semantic stratified sample)"
     ),
     "scrub_pii_docs": QuerySpec(
         scrub_pii_docs, _scrub_pii_sql(),
