@@ -72,3 +72,19 @@ def rolling_fingerprint(col: str | F.Column = "text") -> F.Column:
     (md5 rather than xxhash64 so external engines can verify it)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+# GPT-style pre-tokenizer shape (cl100k-ish): letter runs, digit groups
+# of at most 3, single punctuation marks. Deliberately lookaround-free
+# (Java regex ∩ RE2) so external engines count identically; a real BPE
+# vocab only subdivides these pieces, so this is the standard cheap
+# upper-structure proxy for "model tokens" in curation budgeting.
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: str | F.Column = "text") -> F.Column:
+    """Pre-tokenizer piece count — the 'BPE-ish' token estimate used for
+    sequence budgeting when exact tokenizer vocabularies are out of
+    band. Pure regexp_count, codegen'd, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PIECE_RE)).cast("long")

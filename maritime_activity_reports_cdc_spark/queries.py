@@ -569,6 +569,34 @@ FROM documents GROUP BY lang
 """
 
 
+def bpe_token_count_docs(spark, sf):
+    """BPE-ish piece counting next to whitespace tokens: per-document
+    pre-tokenizer piece count plus the chars-per-piece 'fertility'
+    ratio used for token budgeting — both reproducible in any RE2
+    engine (pattern is lookaround-free)."""
+    d = t(spark, sf, "documents")
+    n_bpe = TXT.bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").cast("long").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_bpe > 0, F.length("text") / n_bpe).otherwise(F.lit(0.0)), 6
+        ).alias("chars_per_piece"),
+    )
+
+
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TXT.BPE_PIECE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CASE WHEN len(regexp_extract_all(text, '{TXT.BPE_PIECE_RE}')) > 0
+             THEN length(text) / CAST(len(regexp_extract_all(text, '{TXT.BPE_PIECE_RE}')) AS DOUBLE)
+             ELSE 0.0 END, 6) AS chars_per_piece
+FROM documents
+"""
+
+
 def doc_quality_scores(spark, sf):
     d = t(spark, sf, "documents")
     return d.select("lang", TXT.quality_score("text").alias("q")).groupBy("lang").agg(
@@ -2012,6 +2040,10 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_pipeline": QuerySpec(
         corpus_curation_pipeline, _corpus_curation_sql(),
         "full curation chain: dedup -> decontaminate -> mixture -> pack"
+    ),
+    "bpe_token_count_docs": QuerySpec(
+        bpe_token_count_docs, BPE_TOKEN_SQL,
+        "BPE-ish pre-tokenizer piece counts + chars-per-piece fertility"
     ),
     "kmeans_embeddings": QuerySpec(
         kmeans_embeddings_q, _kmeans_sql(),

@@ -535,6 +535,19 @@ def test_pack_documents_concat_and_chunk_layout(spark):
         CU.pack_documents(d, 0, "n_tokens")
 
 
+def test_bpe_token_count_pieces(spark):
+    from maritime_activity_reports_cdc_spark.functions import text as TXT2
+
+    d = spark.createDataFrame(
+        [(1, "Hello, world! v2.0 costs 12345 dollars")],
+        "doc_id long, text string",
+    )
+    n = d.select(TXT2.bpe_token_count("text").alias("n")).collect()[0].n
+    # Hello , world ! v 2 . 0 costs 123+45 dollars -> 12 pieces
+    # (digit runs split into groups of <=3: '12345' -> '123','45')
+    assert n == 12
+
+
 def test_kmeans_embeddings_separates_planted_clusters(spark):
     rows = []
     for i in range(4):       # cluster around x-axis
