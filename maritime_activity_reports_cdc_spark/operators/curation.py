@@ -459,3 +459,158 @@ def repetition_stats(
             & (F.col("top_bigram_frac") <= max_top_bigram_frac),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    seg_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2):
+    split every document into consecutive ``seg_words``-token segments,
+    drop every segment whose exact normalized text occurs earlier in
+    the corpus (first occurrence by ``(doc_id, seg_idx)`` wins), and
+    reassemble what survives. Returns ``(doc_id, clean_text,
+    n_segs_kept, n_segs_total)``; documents that lose every segment
+    (pure boilerplate) disappear, matching C4's drop rule. (C4 dedups
+    three-sentence spans; the corpus here has no sentence boundaries,
+    so spans are fixed-width token windows — the same global
+    exact-span semantics.)
+
+    Plan: one explode to segments, ONE shuffle on the segment hash for
+    the global first-occurrence window, one per-doc reassembly
+    aggregate. The window partitions by the segment fingerprint —
+    group size = duplication factor of that one span, so a boilerplate
+    span repeated across millions of pages ranks inside its own
+    partition and nothing quadratic forms. Reassembly concatenates at
+    most the original document back together (map-side combinable
+    collect_list on the doc key).
+    """
+    if seg_words < 1:
+        raise ValueError(f"seg_words must be >= 1, got {seg_words}")
+    from maritime_activity_reports_cdc_spark.operators.dedup import normalize_text
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalize_text(text_col), " ").alias("_w"),
+    ).withColumn("_n", F.size("_w").cast("long"))
+    segs = words.where(F.col("_n") > 0).select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast((_n + {seg_words} - 1) div {seg_words} as int) - 1), "
+                f"i -> struct(i as seg_idx, "
+                f"array_join(slice(_w, i * {seg_words} + 1, {seg_words}), ' ') as seg_text))"
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.seg_idx").alias("_seg_idx"), F.col("_s.seg_text").alias("_seg"))
+    w = Window.partitionBy(F.md5("_seg")).orderBy("_id", "_seg_idx")
+    kept = segs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    totals = segs.groupBy("_id").agg(F.count("*").alias("n_segs_total"))
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_seg_idx", "_seg"))),
+                    lambda s: s["_seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_segs_kept"),
+        )
+    )
+    return (
+        rebuilt.join(totals, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "clean_text", "n_segs_kept", "n_segs_total",
+        )
+    )
+
+
+def badword_stats(
+    df: DataFrame,
+    badwords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bad_frac: float = 0.1,
+) -> DataFrame:
+    """C4-style blocklist filter: the fraction of a document's tokens
+    that appear in a word blocklist, plus the keep decision. Returns
+    ``(doc_id, n_tokens, n_bad, bad_frac, keep)`` for every document.
+
+    The blocklist rides as a broadcast one-column dim (a real
+    blocklist is thousands of entries — far under any broadcast
+    threshold); tokens left-join it map-side, so the corpus shuffles
+    only for its own per-doc aggregate. A conditional count, not a
+    filter, so the caller can audit the distribution before choosing
+    the threshold."""
+    if not badwords:
+        raise ValueError("badwords must be non-empty")
+    from maritime_activity_reports_cdc_spark.operators.dedup import normalize_text
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame([(b.lower(),) for b in badwords], "_t string").distinct()
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("_t"),
+    )
+    return (
+        toks.join(F.broadcast(dim.withColumn("_bad", F.lit(1))), "_t", "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_bad"), F.lit(0))).cast("long").alias("n_bad"),
+        )
+        .select(
+            id_col, "n_tokens", "n_bad",
+            # 6-dp fraction via pure integer half-up division, then one
+            # exact-input IEEE double division: engines cannot disagree.
+            # (ROUND(n_bad/n_tokens, 6) hits the HALF_UP-vs-HALF_EVEN
+            # boundary exactly whenever n_tokens is 128, 64e1, ... —
+            # power-of-two counts make the true ratio terminate at the
+            # 7th decimal digit.)
+            (
+                F.expr("(2000000 * n_bad + n_tokens) div (2 * n_tokens)").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("bad_frac"),
+        )
+        .withColumn("keep", F.col("bad_frac") <= max_bad_frac)
+    )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    rule from mBERT/XLM-R, applied to any grouping): sampling weight
+    proportional to ``count^alpha``, flattening the head and boosting
+    the tail as ``alpha -> 0``. Returns ``(source, n_docs, weight)``
+    with ``sum(weight) = 1``.
+
+    The per-group ``count^alpha`` is rounded to 7 dp and summed as
+    DECIMAL over the (tiny, post-aggregate) group frame so the
+    normalizing denominator — and therefore every weight — is
+    order-independent and engine-reproducible. One map-side-combined
+    groupBy on the corpus; everything after operates on rows =
+    #groups. Feed the result straight into
+    ``weighted_mixture_sample`` (scaled by the caller's target size)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn(
+        "_p", F.round(F.pow(F.col("n_docs"), F.lit(alpha)), 7).cast("decimal(20,7)")
+    )
+    return (
+        powed.withColumn("_denom", F.sum("_p").over(Window.partitionBy()))
+        .select(
+            group_col, "n_docs",
+            F.round(
+                F.col("_p").cast("double") / F.col("_denom").cast("double"), 6
+            ).alias("weight"),
+        )
+    )

@@ -25,6 +25,7 @@ from maritime_activity_reports_cdc_spark.functions import text as TXT
 from maritime_activity_reports_cdc_spark.operators import curation as CU
 from maritime_activity_reports_cdc_spark.operators import dedup as DD
 from maritime_activity_reports_cdc_spark.operators import graph as GR
+from maritime_activity_reports_cdc_spark.operators import lm as LM
 from maritime_activity_reports_cdc_spark.operators import retrieval as RT
 from maritime_activity_reports_cdc_spark.operators import similarity as SIM
 from maritime_activity_reports_cdc_spark.operators.apply import dedup_latest
@@ -1961,6 +1962,204 @@ SELECT query_id, doc_id, rrf, CAST(rk AS BIGINT) AS rk FROM fr WHERE rk <= 10
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# LM-based corpus scoring + curation extensions (round 4 continuation)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "SELECT doc_id AS _id, UNNEST(regexp_split_to_array("
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS _t "
+    "FROM documents"
+)
+
+
+def unigram_nll_docs(spark, sf):
+    """CCNet-style quality scoring: per-document negative log likelihood
+    under a Laplace-smoothed unigram LM estimated from the corpus
+    itself. Per-token costs rounded to 7 dp and summed as DECIMAL so
+    the score is order-independent and engine-reproducible."""
+    d = t(spark, sf, "documents")
+    return LM.unigram_nll_scores(d)
+
+
+UNIGRAM_NLL_SQL = f"""
+WITH toks AS ({_TOKS_CTE}),
+tt AS (SELECT _id, _t, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT _t, SUM(tf)::BIGINT AS _c FROM tt GROUP BY 1),
+stats AS (SELECT SUM(_c)::BIGINT AS _T, COUNT(*)::BIGINT AS _V FROM vocab),
+costed AS (
+  SELECT tt._id, tt.tf,
+         CAST(ROUND(-ln((vocab._c + 1) / CAST(stats._T + stats._V AS DOUBLE))
+                    * 10000000.0) AS BIGINT) AS _cost
+  FROM tt JOIN vocab USING (_t) CROSS JOIN stats
+)
+SELECT _id AS doc_id, SUM(tf)::BIGINT AS n_tokens,
+       CAST(SUM(tf * _cost) AS DOUBLE)
+         / (CAST(SUM(tf) AS DOUBLE) * 10000000.0) AS nll_per_token
+FROM costed GROUP BY 1
+"""
+
+
+def dsir_importance_docs(spark, sf):
+    """DSIR (Xie et al. 2023) hashed-n-gram importance weights: score
+    every document of the raw corpus by how much more likely its
+    hashed token buckets are under the target distribution (sources
+    src0-src2 as the stand-in 'high-quality' slice) than under the raw
+    one. The data-selection rule pretraining mixtures use to pull
+    target-like slices out of a crawl."""
+    d = t(spark, sf, "documents")
+    target = d.where(F.col("source").isin("src0", "src1", "src2"))
+    return LM.importance_weights(d, target, n_buckets=512, hash_fn="md5_48")
+
+
+DSIR_SQL = f"""
+WITH toks AS ({_TOKS_CTE}),
+tt AS (SELECT _id, _t, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+tb AS (
+  SELECT ('0x' || substr(md5(_t), 1, 12))::BIGINT % 512 AS bucket, SUM(tf)::BIGINT AS cnt
+  FROM tt WHERE _id IN (SELECT doc_id FROM documents WHERE source IN ('src0','src1','src2'))
+  GROUP BY 1
+),
+rb AS (
+  SELECT ('0x' || substr(md5(_t), 1, 12))::BIGINT % 512 AS bucket, SUM(tf)::BIGINT AS cnt
+  FROM tt GROUP BY 1
+),
+ts AS (SELECT SUM(cnt)::BIGINT AS _Tt FROM tb),
+rs AS (SELECT SUM(cnt)::BIGINT AS _Tr FROM rb),
+bt AS (
+  SELECT _id, tf, ('0x' || substr(md5(_t), 1, 12))::BIGINT % 512 AS bucket FROM tt
+),
+pb AS (
+  SELECT bt._id, bt.tf,
+         CAST(ROUND(ln(((COALESCE(tb.cnt, 0) + 1) / CAST(ts._Tt + 512 AS DOUBLE))
+                       / ((COALESCE(rb.cnt, 0) + 1) / CAST(rs._Tr + 512 AS DOUBLE)))
+                    * 10000000.0) AS BIGINT) AS _lr
+  FROM bt
+  LEFT JOIN tb USING (bucket)
+  LEFT JOIN rb USING (bucket)
+  CROSS JOIN ts CROSS JOIN rs
+)
+SELECT _id AS doc_id, SUM(tf)::BIGINT AS n_tokens,
+       CAST(SUM(tf * _lr) AS DOUBLE) / 10000000.0 AS log_ratio
+FROM pb GROUP BY 1
+"""
+
+
+# Exactly 16 tokens, so the injected span aligns on one segment.
+_BOILER = ("subscribe now for updates and follow the channel to receive "
+           "the latest posts every single day")
+
+
+def segment_dedup_docs(spark, sf):
+    """C4-style duplicate-span removal over a corpus with deterministic
+    boilerplate injected on every 7th document (the clean synthetic
+    corpus has no natural repeated spans): the shared 16-token span
+    survives only in the lowest doc_id; every other injected document
+    loses exactly that segment and is reassembled without it. Returns
+    the reassembled-text fingerprint plus kept/total segment counts."""
+    d = t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(_BOILER + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = CU.segment_dedup(injected, seg_words=16)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_fp"),
+        "n_segs_kept",
+        "n_segs_total",
+    )
+
+
+SEGMENT_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_BOILER} ' || text ELSE text END AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id AS _id,
+         regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS _w
+  FROM base
+),
+idx AS (
+  SELECT _id, _w, UNNEST(range(0, (len(_w) + 15) // 16)) AS _seg_idx
+  FROM words WHERE len(_w) > 0
+),
+segs AS (
+  SELECT _id, _seg_idx,
+         array_to_string(list_slice(_w, _seg_idx * 16 + 1, _seg_idx * 16 + 16), ' ') AS _seg
+  FROM idx
+),
+kept AS (
+  SELECT _id, _seg_idx, _seg,
+         row_number() OVER (PARTITION BY md5(_seg) ORDER BY _id, _seg_idx) AS _rn
+  FROM segs
+),
+rebuilt AS (
+  SELECT _id, string_agg(_seg, ' ' ORDER BY _seg_idx) AS clean_text,
+         COUNT(*)::BIGINT AS n_segs_kept
+  FROM kept WHERE _rn = 1 GROUP BY _id
+),
+totals AS (SELECT _id, COUNT(*)::BIGINT AS n_segs_total FROM segs GROUP BY _id)
+SELECT r._id AS doc_id, md5(r.clean_text) AS clean_fp, n_segs_kept, n_segs_total
+FROM rebuilt r JOIN totals t USING (_id)
+"""
+
+
+_BADWORDS = ["slow", "merge", "spam"]
+
+
+def badword_filter_docs(spark, sf):
+    """C4-style blocklist filter: fraction of tokens on a (broadcast)
+    word blocklist plus the keep decision at a 5% threshold — a
+    conditional count so the distribution is auditable, not a bare
+    filter."""
+    d = t(spark, sf, "documents")
+    return CU.badword_stats(d, _BADWORDS, max_bad_frac=0.05)
+
+
+BADWORD_SQL = f"""
+WITH toks AS ({_TOKS_CTE}),
+bw AS (SELECT UNNEST(['slow', 'merge', 'spam']) AS _t),
+agg AS (
+  SELECT toks._id AS doc_id, COUNT(*)::BIGINT AS n_tokens,
+         SUM(CASE WHEN bw._t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_bad
+  FROM toks LEFT JOIN bw USING (_t)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_bad,
+       CAST((2000000 * n_bad + n_tokens) // (2 * n_tokens) AS DOUBLE)
+         / 1000000.0 AS bad_frac,
+       CAST((2000000 * n_bad + n_tokens) // (2 * n_tokens) AS DOUBLE)
+         / 1000000.0 <= 0.05 AS keep
+FROM agg
+"""
+
+
+def temperature_mixture_weights(spark, sf):
+    """Temperature-scaled mixture weights per source (alpha = 0.3, the
+    mBERT/XLM-R sampling rule): weight proportional to count^alpha,
+    normalized by an exact DECIMAL sum so every weight reproduces
+    digit-for-digit."""
+    d = t(spark, sf, "documents")
+    return CU.temperature_weights(d, alpha=0.3, group_col="source")
+
+
+TEMPERATURE_SQL = """
+WITH c AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+p AS (SELECT source, n_docs,
+             CAST(ROUND(POWER(n_docs, 0.3), 7) AS DECIMAL(20,7)) AS _p
+      FROM c),
+s AS (SELECT SUM(_p) AS _denom FROM p)
+SELECT source, n_docs,
+       ROUND(CAST(_p AS DOUBLE) / CAST(_denom AS DOUBLE), 6) AS weight
+FROM p CROSS JOIN s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_lineitem_rollup": QuerySpec(q1_lineitem_rollup, Q1_SQL, "TPC-H Q1-shape rollup (A4)"),
     "cdc_apply_latest": QuerySpec(cdc_apply_latest, CDC_APPLY_SQL, "flagship CDC last-write-wins apply"),
@@ -2075,5 +2274,25 @@ QUERIES: dict[str, QuerySpec] = {
     "hybrid_rrf_docs": QuerySpec(
         hybrid_rrf_docs, HYBRID_RRF_SQL,
         "hybrid BM25 + dense-cosine retrieval fused by RRF"
+    ),
+    "unigram_nll_docs": QuerySpec(
+        unigram_nll_docs, UNIGRAM_NLL_SQL,
+        "CCNet-style unigram-LM NLL quality scores (exact decimal sums)"
+    ),
+    "dsir_importance_docs": QuerySpec(
+        dsir_importance_docs, DSIR_SQL,
+        "DSIR hashed-n-gram importance weights (target vs raw buckets)"
+    ),
+    "segment_dedup_docs": QuerySpec(
+        segment_dedup_docs, SEGMENT_DEDUP_SQL,
+        "C4-style duplicate-span removal + document reassembly"
+    ),
+    "badword_filter_docs": QuerySpec(
+        badword_filter_docs, BADWORD_SQL,
+        "blocklist token fraction + keep flag (C4 badwords filter)"
+    ),
+    "temperature_mixture_weights": QuerySpec(
+        temperature_mixture_weights, TEMPERATURE_SQL,
+        "temperature-scaled (count^alpha) mixture weights per source"
     ),
 }
