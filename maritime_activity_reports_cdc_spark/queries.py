@@ -380,17 +380,30 @@ FROM events GROUP BY 1
 """
 
 
-def event_type_performance(spark, sf):
+def event_type_performance(spark, sf, approx_median: bool = False):
     """A5 port-performance analog: bucketed/conditional measures + exact
-    median (the reference's PERCENTILE_CONT, G8-fixed to valid Spark)."""
+    median (the reference's PERCENTILE_CONT, G8-fixed to valid Spark).
+
+    ``approx_median=True`` swaps the exact ``percentile`` (which buffers
+    and sorts each group's values) for ``approx_percentile`` (constant-
+    memory KLL-style sketch, mergeable map-side) — the production setting
+    at 100x scale where a per-group sort is the bottleneck. The oracle
+    catalog entry keeps the exact form so DuckDB's quantile_cont
+    hash-matches bit-for-bit.
+    """
     ev = t(spark, sf, "events")
+    median = (
+        F.expr("approx_percentile(value, 0.5)")
+        if approx_median
+        else F.expr("percentile(value, 0.5)")
+    )
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("unique_users"),
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(median, 6).alias("median_value"),
         F.count(F.when(F.col("value") < 5, 1)).alias("n_low"),
         F.count(F.when(F.col("value") > 90, 1)).alias("n_high"),
         F.count(F.when(F.dayofweek("ts").isin(1, 7), 1)).alias("weekend_events"),

@@ -783,3 +783,23 @@ def test_bm25_precomputed_postings_match_inline(spark):
         for r in RT.bm25_topk(corpus, q, k=3, postings=idx).collect()
     }
     assert inline == via_idx and inline
+
+
+def test_event_type_performance_approx_median_flag(spark):
+    from maritime_activity_reports_cdc_spark import queries as Q
+
+    exact = {
+        r.event_type: r.median_value
+        for r in Q.event_type_performance(spark, "/root/testdata/sf0.001").collect()
+    }
+    approx = {
+        r.event_type: r.median_value
+        for r in Q.event_type_performance(
+            spark, "/root/testdata/sf0.001", approx_median=True
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, m in exact.items():
+        # approx_percentile returns an actual data value; at sf0.001 group
+        # sizes the sketch is exact-ish — allow a loose value tolerance.
+        assert abs(approx[et] - m) <= max(1.0, 0.05 * abs(m))
