@@ -1,0 +1,426 @@
+"""Change-data-feed PRODUCER over lake snapshot history.
+
+The reference pipeline CONSUMES Delta Change Data Feed — its silver layer
+tails the bronze table's CDF with ``readChangeFeed`` + startingVersion
+(``silver/cdf_processor.py:255-275``, ``bronze/table_setup.py:72-80`` in
+/root/reference) — but its own outputs are plain tables. This module
+closes the loop: any :class:`LakeTable` becomes a CDF *source*, so a
+downstream consumer (the next medallion hop, an index builder, a
+training-data exporter) tails our tables incrementally instead of
+re-scanning them, with the same contract Delta CDF gives the reference:
+per-commit rows stamped ``_change_type`` ∈ {insert, update_preimage,
+update_postimage, delete} and ``_commit_version``.
+
+Design — the Iceberg changelog-scan / "CDF without CDC files" analog:
+changes for commit ``v`` are reconstructed from the manifest diff
+``v-1 -> v``; the ingest path writes nothing extra.
+
+- ``append``          -> the added files ARE the inserts (no diff, no
+                         shuffle);
+- ``append_delta``    -> the added delta files ARE the change batch
+                         (post-images + tombstones); insert-vs-update
+                         and delete pre-images resolve against the
+                         parent snapshot restricted to the touched
+                         partitions;
+- ``replace``/``overwrite`` -> row-level diff of the old vs new resolved
+                         state of exactly the replaced partitions:
+                         full-outer join on the key, null-safe struct
+                         compare drops unchanged rows (a copy-on-write
+                         bucket rewrite carries mostly unchanged rows —
+                         they never reach the feed);
+- maintenance commits (compaction / file rewrite / gen-compaction) and
+  metadata commits (create / noop / set-properties / add-columns) are
+  data-neutral by contract -> skipped without any scan.
+
+Scale: per-commit cost is O(commit footprint) — only partitions the
+commit touched are read, the classify/diff joins shuffle only those
+rows, and the driver handles manifests alone. Reading a feed over K
+commits is K such bounded plans unioned; retention (snapshot expiry)
+bounds K. Row comparison is null-safe struct equality on the payload
+columns (engine-internal ``_``-prefixed columns excluded), so schema
+evolution across the range null-backfills older commits exactly like
+the table readers do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maritime_activity_reports_cdc_spark.operators.apply import (
+    DEFAULT_KEYS,
+    DEFAULT_ORDER,
+    dedup_latest,
+)
+from maritime_activity_reports_cdc_spark.sources.lake import LakeTable, Snapshot
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+INSERT = "insert"
+UPDATE_PRE = "update_preimage"
+UPDATE_POST = "update_postimage"
+DELETE = "delete"
+
+_SKIP_OPERATIONS = {"create", "noop", "set-properties", "add-columns"}
+_SKIP_KINDS = {"compaction", "rewrite", "gen-compaction"}
+
+
+def _payload_fields(schema: T.StructType) -> list[T.StructField]:
+    """Feed-visible columns: everything except engine-internal ``_*``."""
+    return [f for f in schema.fields if not f.name.startswith("_")]
+
+
+def _align_payload(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
+    cols = []
+    present = set(df.columns)
+    for f in fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols, CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+
+
+def _stamp(df: DataFrame, change_type, version: int) -> DataFrame:
+    ct = change_type if isinstance(change_type, F.Column) else F.lit(change_type)
+    return df.withColumn(CHANGE_TYPE_COL, ct).withColumn(
+        COMMIT_VERSION_COL, F.lit(version).cast("long")
+    )
+
+
+def _added_files(new: dict[str, list[str]], old: dict[str, list[str]]) -> list[str]:
+    out: list[str] = []
+    for part, files in new.items():
+        prior = set(old.get(part, ()))
+        out.extend(f for f in files if f not in prior)
+    return out
+
+
+def _changed_parts(snap: Snapshot, parent: Snapshot) -> set[str]:
+    parts = set(snap.files) | set(parent.files)
+    return {
+        p
+        for p in parts
+        if snap.files.get(p, []) != parent.files.get(p, [])
+        or snap.delta_files.get(p, []) != parent.delta_files.get(p, [])
+    }
+
+
+def _live(df: DataFrame) -> DataFrame:
+    if "op" in df.columns:
+        return df.where(F.col("op").isNull() | (F.col("op") != "D"))
+    return df
+
+
+def _resolved(
+    table: LakeTable, snap: Snapshot, parts: set[str], keys, order,
+    live_only: bool = True,
+) -> DataFrame:
+    """Resolved state of ``parts`` at ``snap``: base ∪ deltas, one
+    winner per key. ``live_only`` drops tombstone winners (the visible
+    state); the classify path keeps them — a retained tombstone still
+    participates in change-order arbitration. Pure-CoW partitions skip
+    the dedup shuffle (base rows are already unique per key)."""
+    files = LakeTable._file_list(snap, parts, "include")
+    df = table._read_files(snap, files)
+    if any(snap.delta_files.get(p) for p in parts):
+        df = dedup_latest(df, keys, order)
+    return _live(df) if live_only else df
+
+
+def _classify_upserts(
+    batch: DataFrame, prev: DataFrame, fields, keys, order, version: int
+) -> DataFrame:
+    """Split a deduped change batch (post-images + tombstones) into CDF
+    rows against the parent state of the touched partitions.
+
+    ``prev`` is the parent WINNER per key INCLUDING retained tombstones:
+    the feed must reproduce the apply's arbitration, where a batch row
+    only changes visible state if it beats the previous winner in change
+    order — an out-of-order stale update arriving after a higher-LSN
+    tombstone changes nothing (it must not resurrect the key), and a
+    redelivered duplicate (order tie) changes nothing either."""
+    names = [f.name for f in fields]
+    key_cols = list(keys)
+    b = batch.select(
+        *[F.col(c).alias(c) for c in names if c in batch.columns]
+    )
+    p = prev.select(
+        *key_cols,
+        *[
+            F.col(c).alias(f"__p_{c}")
+            for c in names
+            if c not in key_cols and c in prev.columns
+        ],
+        F.lit(True).alias("__present"),
+    )
+    j = b.join(p, on=key_cols, how="left")
+    is_delete = F.col("op") == "D" if "op" in b.columns else F.lit(False)
+    present = F.col("__present").isNotNull()
+    prev_live = present & (
+        (F.col("__p_op").isNull() | (F.col("__p_op") != "D"))
+        if "__p_op" in j.columns
+        else F.lit(True)
+    )
+    order_pairs = [
+        (c, f"__p_{c}") for c in order if c in b.columns and f"__p_{c}" in j.columns
+    ]
+    if order_pairs:
+        beats = F.struct(*[F.col(c) for c, _ in order_pairs]) > F.struct(
+            *[F.col(pc).alias(c) for c, pc in order_pairs]
+        )
+        wins = ~present | beats
+    else:
+        wins = F.lit(True)
+
+    def _b_side(rows: DataFrame) -> DataFrame:
+        return rows.select(*[c for c in names if c in b.columns])
+
+    def _p_side(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            *key_cols,
+            *[
+                F.col(f"__p_{c}").alias(c)
+                for c in names
+                if c not in key_cols and f"__p_{c}" in rows.columns
+            ],
+        )
+
+    # losing rows (stale out-of-order or redelivered ties) emit nothing;
+    # a winner over a tombstone re-inserts; a delete of an absent or
+    # already-tombstoned key emits nothing
+    inserts = _stamp(_b_side(j.where(~is_delete & wins & ~prev_live)), INSERT, version)
+    posts = _stamp(_b_side(j.where(~is_delete & wins & prev_live)), UPDATE_POST, version)
+    pres = _stamp(_p_side(j.where(~is_delete & wins & prev_live)), UPDATE_PRE, version)
+    dels = _stamp(_p_side(j.where(is_delete & wins & prev_live)), DELETE, version)
+    out = inserts
+    for part in (pres, posts, dels):
+        out = out.unionByName(part, allowMissingColumns=True)
+    return out
+
+
+def _diff_states(
+    old: DataFrame, new: DataFrame, fields, keys, version: int
+) -> DataFrame:
+    """Row-level diff of two resolved states on the same key space."""
+    names = [f.name for f in fields]
+    key_cols = list(keys)
+    value_cols = [c for c in names if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in value_cols if c in old.columns],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[c for c in names if c in new.columns],
+        F.lit(True).alias("__in_new"),
+    )
+    j = n.join(o, on=key_cols, how="full_outer")
+    o_vals = [f"__o_{c}" for c in value_cols if f"__o_{c}" in j.columns]
+    n_vals = [c for c in value_cols if c in j.columns]
+    same = F.struct(*[F.col(c) for c in n_vals]).eqNullSafe(
+        F.struct(*[F.col(c).alias(c[len("__o_"):]) for c in o_vals])
+    )
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+
+    def _new_side(rows: DataFrame) -> DataFrame:
+        return rows.select(*[c for c in names if c in j.columns])
+
+    def _old_side(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            *key_cols,
+            *[F.col(f"__o_{c}").alias(c) for c in value_cols if f"__o_{c}" in j.columns],
+        )
+
+    inserts = _stamp(_new_side(j.where(in_new & ~in_old)), INSERT, version)
+    dels = _stamp(_old_side(j.where(in_old & ~in_new)), DELETE, version)
+    changed = j.where(in_old & in_new & ~same)
+    pres = _stamp(_old_side(changed), UPDATE_PRE, version)
+    posts = _stamp(_new_side(changed), UPDATE_POST, version)
+    out = inserts
+    for part in (pres, posts, dels):
+        out = out.unionByName(part, allowMissingColumns=True)
+    return out
+
+
+def _commit_changes(
+    table: LakeTable, version: int, keys, order
+) -> DataFrame | None:
+    snap = table.snapshot(version)
+    operation = snap.summary.get("operation")
+    kind = snap.summary.get("operation_kind")
+    if operation in _SKIP_OPERATIONS or kind in _SKIP_KINDS:
+        return None
+    parent = table.snapshot(snap.parent)
+    fields = _payload_fields(snap.schema())
+
+    if operation == "append":
+        added = _added_files(snap.files, parent.files)
+        if not added:
+            return None
+        rows = table._read_files(snap, added)
+        return _stamp(rows.select(*[f.name for f in fields]), INSERT, version)
+
+    if operation == "append_delta":
+        added = _added_files(snap.delta_files, parent.delta_files)
+        if not added:
+            return None
+        parts = {
+            p
+            for p, files in snap.delta_files.items()
+            if any(f in set(added) for f in files)
+        }
+        batch = dedup_latest(table._read_files(snap, added), keys, order)
+        prev = _resolved(table, parent, parts, keys, order, live_only=False)
+        return _classify_upserts(batch, prev, fields, keys, order, version)
+
+    # replace / overwrite / unknown writer: row-level diff of the
+    # resolved states of exactly the partitions the commit touched
+    # (for unknown operations this is the safe general path)
+    parts = _changed_parts(snap, parent)
+    if not parts:
+        return None
+    old = _resolved(table, parent, parts, keys, order)
+    new = _resolved(table, snap, parts, keys, order)
+    return _diff_states(old, new, fields, keys, version)
+
+
+def read_changes(
+    table: LakeTable,
+    start_version: int,
+    end_version: int | None = None,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    order: tuple[str, ...] = DEFAULT_ORDER,
+) -> DataFrame:
+    """Rows changed by commits in ``(start_version, end_version]``.
+
+    Delta's ``table_changes(start, end)`` analog: each row carries
+    ``_change_type`` and ``_commit_version``; a key changed in two
+    commits of the range appears once per commit. ``start_version`` is
+    EXCLUSIVE (pass the last version you have already consumed; 0 — the
+    create commit — means "everything"). Raises if part of the range has
+    been expired from the manifest history.
+    """
+    end = table.current_version() if end_version is None else end_version
+    if end is None or start_version > end:
+        raise ValueError(f"invalid change range ({start_version}, {end}]")
+    target_fields = _payload_fields(table.snapshot(end).schema())
+    frames = []
+    for v in range(start_version + 1, end + 1):
+        try:
+            df = _commit_changes(table, v, keys, order)
+        except FileNotFoundError as exc:
+            raise ValueError(
+                f"version {v} has been expired from {table.path}; "
+                f"cannot produce changes since {start_version}"
+            ) from exc
+        if df is not None:
+            frames.append(_align_payload(df, target_fields))
+    if not frames:
+        schema = T.StructType(
+            list(target_fields)
+            + [
+                T.StructField(CHANGE_TYPE_COL, T.StringType(), False),
+                T.StructField(COMMIT_VERSION_COL, T.LongType(), False),
+            ]
+        )
+        return table.spark.createDataFrame([], schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def changes_to_batch(
+    changes: DataFrame, order: tuple[str, ...] = DEFAULT_ORDER
+) -> DataFrame:
+    """Re-shape a change feed into an apply-able CDC batch: post-images
+    become upserts, deletes become tombstones, pre-images drop.
+    ``apply_changes`` on the result replicates the source table — the
+    medallion-hop consumption pattern (and the round-trip test).
+
+    The ``order`` columns are REBASED onto ``_commit_version``: the
+    feed's total order IS commit order, and a delete row's payload
+    carries the *preimage's* provenance (Delta CDF semantics), which
+    would tie with — not beat — the row it deletes under the original
+    LSN order. Each key appears at most once per commit as a post-image
+    or delete, so (commit_version, 0) is a valid change order. Consumers
+    that want source provenance read the raw feed; this shape is the
+    apply transport.
+    """
+    post = changes.where(
+        F.col(CHANGE_TYPE_COL).isin(INSERT, UPDATE_POST)
+    )
+    dels = changes.where(F.col(CHANGE_TYPE_COL) == DELETE).withColumn(
+        "op", F.lit("D")
+    )
+    out = post.unionByName(dels)
+    if order and order[0] in out.columns:
+        dtype = dict(out.dtypes)[order[0]]
+        out = out.withColumn(order[0], F.col(COMMIT_VERSION_COL).cast(dtype))
+    for extra in order[1:]:
+        if extra in out.columns:
+            dtype = dict(out.dtypes)[extra]
+            out = out.withColumn(extra, F.lit(0).cast(dtype))
+    return out.drop(CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+
+
+class ChangeFeedTail:
+    """Durable-offset change-feed consumer — the engine's binlog-tail
+    pattern (SURVEY §2.1 S4, ``streaming/runner.py``) pointed at a lake
+    table instead of a change log.
+
+    ``poll()`` returns ``(changes, upto_version)`` for everything past
+    the last acknowledged version, or ``None`` when caught up. The
+    consumer processes the batch, commits downstream, then ``ack(upto)``
+    — the offset write is atomic (tmp + ``os.replace``). A crash before
+    ack redelivers the same range; downstream exactly-once comes from
+    the consumer's own epoch guard keyed on ``upto_version`` (exactly
+    how the medallion relay treats redelivered change-log chunks).
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        checkpoint_path: str,
+        keys: tuple[str, ...] = DEFAULT_KEYS,
+        order: tuple[str, ...] = DEFAULT_ORDER,
+        starting_version: int = 0,
+    ):
+        self.table = table
+        self.checkpoint_path = checkpoint_path
+        self.keys = keys
+        self.order = order
+        self.starting_version = starting_version
+        parent = os.path.dirname(checkpoint_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+
+    def last_acked(self) -> int:
+        try:
+            with open(self.checkpoint_path) as fh:
+                return int(json.load(fh)["version"])
+        except FileNotFoundError:
+            return self.starting_version
+
+    def poll(self) -> tuple[DataFrame, int] | None:
+        current = self.table.current_version()
+        last = self.last_acked()
+        if current is None or current <= last:
+            return None
+        return (
+            read_changes(self.table, last, current, self.keys, self.order),
+            current,
+        )
+
+    def ack(self, version: int) -> None:
+        tmp = f"{self.checkpoint_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": int(version)}, fh)
+        os.replace(tmp, self.checkpoint_path)

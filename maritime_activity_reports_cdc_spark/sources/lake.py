@@ -281,6 +281,23 @@ class LakeTable:
     def partition_values(self, version: int | None = None) -> list[str]:
         return sorted(self.snapshot(version).files.keys())
 
+    def read_changes(
+        self,
+        start_version: int,
+        end_version: int | None = None,
+        **kwargs,
+    ) -> DataFrame:
+        """Change-data-feed read: rows changed by commits in
+        ``(start_version, end_version]`` stamped with ``_change_type`` /
+        ``_commit_version`` — the Delta ``table_changes`` analog the
+        reference's silver layer consumes (reconstructed from manifest
+        diffs; see ``operators.changefeed``)."""
+        from maritime_activity_reports_cdc_spark.operators.changefeed import (
+            read_changes,
+        )
+
+        return read_changes(self, start_version, end_version, **kwargs)
+
     def _read_files(self, snap: Snapshot, files: list[str]) -> DataFrame:
         schema = snap.schema()
         if not files:

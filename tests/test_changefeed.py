@@ -1,0 +1,238 @@
+"""Change-data-feed producer tests: per-commit classification on both
+apply modes, maintenance-commit neutrality, durable-offset tailing, and
+the round-trip law (replaying a table's own feed reproduces the table).
+
+Reference analog: the pipeline consumes Delta CDF with the same
+_change_type taxonomy (silver/cdf_processor.py:255-275 in
+/root/reference); here OUR tables are the CDF source.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from maritime_activity_reports_cdc_spark.operators.apply import compact
+from maritime_activity_reports_cdc_spark.operators.changefeed import (
+    CHANGE_TYPE_COL,
+    COMMIT_VERSION_COL,
+    ChangeFeedTail,
+    changes_to_batch,
+    read_changes,
+)
+from maritime_activity_reports_cdc_spark.plans import bronze
+from maritime_activity_reports_cdc_spark.sources.generator import (
+    generate_transcript_changes,
+)
+from tests.helpers import assert_states_equal, table_state
+
+CH_SCHEMA = (
+    "op string, lsn long, op_ordinal int, commit_ts timestamp, conv_id string, "
+    "turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+TS = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, CH_SCHEMA)
+
+
+def _epoch0(spark):
+    return _batch(spark, [
+        ("I", 100, 0, TS, "c1", 0, "system", "s0", None, TS),
+        ("I", 101, 0, TS, "c1", 1, "user", "u1", None, TS),
+        ("I", 102, 0, TS, "c9", 0, "system", "s9", None, TS),
+        ("I", 103, 0, TS, "c9", 1, "user", "u9", None, TS),
+    ])
+
+
+def _epoch1(spark):
+    return _batch(spark, [
+        ("U", 200, 0, TS, "c1", 0, "system", "s0-v2", None, TS),   # update
+        ("D", 201, 1, TS, "c1", 1, None, None, None, None),        # delete
+        ("I", 202, 2, TS, "c2", 0, "system", "new", None, TS),     # insert
+        ("D", 203, 3, TS, "c7", 5, None, None, None, None),        # delete of absent key
+    ])
+
+
+def _changes_map(df):
+    return {
+        (r.conv_id, r.turn_idx, r[CHANGE_TYPE_COL]): r
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module", params=["cow", "mor"])
+def fed_table(request, spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp(f"cdf_{request.param}")
+    t = bronze.create_transcripts_table(
+        spark, str(root / "t"), n_buckets=4, apply_mode=request.param
+    )
+    bronze.apply_transcript_batch(t, _epoch0(spark), epoch=0)
+    v1 = t.current_version()
+    bronze.apply_transcript_batch(t, _epoch1(spark), epoch=1)
+    v2 = t.current_version()
+    return t, v1, v2
+
+
+def test_initial_commit_is_all_inserts(fed_table):
+    t, v1, _ = fed_table
+    ch = read_changes(t, 0, v1)
+    assert {r[CHANGE_TYPE_COL] for r in ch.collect()} == {"insert"}
+    assert ch.count() == 4
+    assert {r[COMMIT_VERSION_COL] for r in ch.collect()} == {v1}
+
+
+def test_second_commit_classifies_update_delete_insert(fed_table):
+    t, v1, v2 = fed_table
+    m = _changes_map(read_changes(t, v1, v2))
+    assert set(m) == {
+        ("c1", 0, "update_preimage"),
+        ("c1", 0, "update_postimage"),
+        ("c1", 1, "delete"),
+        ("c2", 0, "insert"),
+    }  # the delete of absent (c7,5) emits nothing
+    assert m[("c1", 0, "update_preimage")].text == "s0"
+    assert m[("c1", 0, "update_postimage")].text == "s0-v2"
+    assert m[("c1", 1, "delete")].text == "u1"  # preimage payload
+    assert m[("c2", 0, "insert")].text == "new"
+
+
+def test_range_spans_commits_with_versions(fed_table):
+    t, v1, v2 = fed_table
+    ch = read_changes(t, 0, v2)
+    assert ch.count() == 8
+    per_v = {
+        r[COMMIT_VERSION_COL]
+        for r in ch.where(F.col(CHANGE_TYPE_COL) == "insert").collect()
+    }
+    assert per_v == {v1, v2}
+
+
+def test_compaction_commit_emits_nothing(fed_table):
+    t, _, v2 = fed_table
+    if t.properties().get("apply_mode") != "mor":
+        pytest.skip("compaction applies to MoR tables")
+    assert compact(t)
+    v3 = t.current_version()
+    assert v3 > v2
+    assert read_changes(t, v2, v3).count() == 0
+
+
+def test_cow_and_mor_feeds_agree(spark, tmp_path):
+    feeds = {}
+    for mode in ("cow", "mor"):
+        t = bronze.create_transcripts_table(
+            spark, str(tmp_path / mode), n_buckets=4, apply_mode=mode
+        )
+        bronze.apply_transcript_batch(t, _epoch0(spark), epoch=0)
+        bronze.apply_transcript_batch(t, _epoch1(spark), epoch=1)
+        feeds[mode] = {
+            (r.conv_id, r.turn_idx, r[CHANGE_TYPE_COL], r.text, r.role)
+            for r in read_changes(t, 0).collect()
+        }
+    assert feeds["cow"] == feeds["mor"]
+
+
+def test_tail_poll_ack_resume(spark, tmp_path):
+    t = bronze.create_transcripts_table(
+        spark, str(tmp_path / "t"), n_buckets=4, apply_mode="mor"
+    )
+    ck = str(tmp_path / "offsets.json")
+    tail = ChangeFeedTail(t, ck)
+    assert tail.poll() is None  # only the create commit exists
+
+    bronze.apply_transcript_batch(t, _epoch0(spark), epoch=0)
+    ch, upto = tail.poll()
+    assert ch.count() == 4 and upto == t.current_version()
+    # not acked -> redelivered
+    ch2, upto2 = tail.poll()
+    assert upto2 == upto and ch2.count() == 4
+    tail.ack(upto)
+    assert tail.poll() is None
+
+    bronze.apply_transcript_batch(t, _epoch1(spark), epoch=1)
+    ch3, upto3 = tail.poll()
+    assert upto3 == t.current_version()
+    assert {r[CHANGE_TYPE_COL] for r in ch3.collect()} == {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }
+    tail.ack(upto3)
+    # a NEW tail object resumes from the durable offset
+    assert ChangeFeedTail(t, ck).poll() is None
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_feed_round_trip_replicates_table(spark, tmp_path, mode):
+    """The law that makes the feed a real medallion transport: consuming
+    a table's own change feed and applying each polled batch to an empty
+    replica reproduces the source state exactly."""
+    src = bronze.create_transcripts_table(
+        spark, str(tmp_path / "src"), n_buckets=4, apply_mode=mode
+    )
+    log = generate_transcript_changes(
+        spark, n_conversations=30, turns_per_conv=6,
+        update_ratio=0.3, delete_ratio=0.1, duplicate_ratio=0.05, seed=17,
+    )
+    chunks = log.randomSplit([1.0, 1.0, 1.0], seed=3)
+    replica = bronze.create_transcripts_table(
+        spark, str(tmp_path / "dst"), n_buckets=4, apply_mode="cow"
+    )
+    tail = ChangeFeedTail(src, str(tmp_path / "off.json"))
+    for i, chunk in enumerate(chunks):
+        bronze.apply_transcript_batch(src, chunk, epoch=i)
+        ch, upto = tail.poll()
+        bronze.apply_transcript_batch(replica, changes_to_batch(ch), epoch=upto)
+        tail.ack(upto)
+    assert_states_equal(
+        table_state(bronze.read_transcripts(replica)),
+        table_state(bronze.read_transcripts(src)),
+    )
+
+
+def test_schema_evolution_null_backfills_old_commits(spark, tmp_path):
+    from maritime_activity_reports_cdc_spark.sources.generator import (
+        generate_evolved_changes,
+    )
+
+    t = bronze.create_transcripts_table(
+        spark, str(tmp_path / "t"), n_buckets=4, apply_mode="cow"
+    )
+    bronze.apply_transcript_batch(t, _epoch0(spark), epoch=0)
+    ev, _ = generate_evolved_changes(
+        spark, n_conversations=5, turns_per_conv=3, seed=9
+    )
+    bronze.apply_transcript_batch(t, ev, epoch=1)
+    ch = read_changes(t, 0)
+    assert "lang" in ch.columns
+    # rows from the pre-evolution commit carry null for the new column
+    old_rows = ch.where(F.col(COMMIT_VERSION_COL) == 1)
+    assert old_rows.where(F.col("lang").isNotNull()).count() == 0
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stale_update_after_tombstone_emits_nothing(spark, tmp_path, mode):
+    """The feed must reproduce the apply's arbitration: an out-of-order
+    update older than a retained tombstone neither resurrects the key
+    nor appears in the feed (on either apply mode)."""
+    t = bronze.create_transcripts_table(
+        spark, str(tmp_path / "t"), n_buckets=4, apply_mode=mode
+    )
+    bronze.apply_transcript_batch(
+        t, _batch(spark, [("I", 100, 0, TS, "c1", 0, "system", "s0", None, TS)]),
+        epoch=0,
+    )
+    bronze.apply_transcript_batch(
+        t, _batch(spark, [("D", 300, 0, TS, "c1", 0, None, None, None, None)]),
+        epoch=1,
+    )
+    v_before = t.current_version()
+    bronze.apply_transcript_batch(
+        t, _batch(spark, [("U", 200, 0, TS, "c1", 0, "system", "stale", None, TS)]),
+        epoch=2,
+    )
+    assert read_changes(t, v_before).count() == 0
+    assert bronze.read_transcripts(t).count() == 0  # key stays deleted
