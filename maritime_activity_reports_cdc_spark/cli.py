@@ -226,6 +226,43 @@ def cmd_rewrite(args) -> dict:
     return {"table": args.table, "mode": mode, "partitions_rewritten": n}
 
 
+def cmd_changes(args) -> dict:
+    from maritime_activity_reports_cdc_spark.operators.changefeed import (
+        CHANGE_TYPE_COL,
+        read_changes,
+    )
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+
+    spark = _spark(args)
+    p = MedallionPipeline.load(spark, args.root)
+    table = {"bronze": p.bronze, "silver": p.silver}[args.table]
+    # turn/auto silver deltas are ordered by refresh generation — a
+    # re-enriched row keeps its (lsn, op_ordinal) envelope, so the feed
+    # must arbitrate by _gen exactly like cmd_rewrite resolves
+    order = (
+        ("_gen",)
+        if args.table == "silver" and p.layer_mode in ("turn", "auto")
+        else ("lsn", "op_ordinal")
+    )
+    end = (
+        args.end_version if args.end_version is not None
+        else table.current_version()
+    )
+    ch = read_changes(table, args.since_version, end, order=order)
+    if args.output:
+        ch.write.mode("overwrite").parquet(args.output)
+        ch = spark.read.parquet(args.output)
+    counts = {r[0]: r[1] for r in ch.groupBy(CHANGE_TYPE_COL).count().collect()}
+    return {
+        "table": args.table,
+        "since_version": args.since_version,
+        "end_version": end,
+        "rows": sum(counts.values()),
+        "by_change_type": counts,
+        "output": args.output,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="cdc-engine")
     ap.add_argument("--config", default=None,
@@ -270,6 +307,18 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--root", required=True)
     ep.add_argument("--keep-last", type=int, default=None)
 
+    cg = sub.add_parser(
+        "changes", help="change-data-feed export (Delta table_changes analog)"
+    )
+    cg.add_argument("--root", required=True)
+    cg.add_argument("--table", choices=["bronze", "silver"], default="bronze")
+    cg.add_argument("--since-version", type=int, required=True,
+                    help="EXCLUSIVE start version (0 = everything)")
+    cg.add_argument("--end-version", type=int, default=None,
+                    help="inclusive end (default: current version)")
+    cg.add_argument("--output", default=None,
+                    help="write the feed as parquet at this path")
+
     rw = sub.add_parser("rewrite", help="sorted file rewrite (OPTIMIZE analog)")
     rw.add_argument("--root", required=True)
     rw.add_argument("--table", choices=["bronze", "silver"], default="bronze")
@@ -288,7 +337,7 @@ def main(argv: list[str] | None = None) -> int:
     fn = {
         "setup": cmd_setup, "replay": cmd_replay, "stream": cmd_stream,
         "status": cmd_status, "compact": cmd_compact, "expire": cmd_expire,
-        "rewrite": cmd_rewrite, "report": cmd_report,
+        "rewrite": cmd_rewrite, "report": cmd_report, "changes": cmd_changes,
     }[args.cmd]
     print(json.dumps(fn(args), default=str))
     return 0

@@ -171,6 +171,12 @@ def test_cli_setup_replay_status_compact_expire(spark, tmp_path, engine_zip):
     assert out["tables"]["bronze"]["version"] > 0
     assert out["last_epoch_metrics"]["n_events"] > 0
 
+    feed_out = str(tmp_path / "feed")
+    out = _cli(engine_zip, "changes", "--root", root, "--since-version", "0",
+               "--output", feed_out)
+    assert out["rows"] > 0 and out["by_change_type"].get("insert", 0) > 0
+    assert spark.read.parquet(feed_out).count() == out["rows"]
+
     out = _cli(engine_zip, "compact", "--root", root)
     assert out["compacted"]
 
