@@ -218,12 +218,17 @@ def cmd_rewrite(args) -> dict:
     else:
         order = ("lsn", "op_ordinal")
         horizon = args.drop_tombstones_below_lsn
+    zorder = tuple(args.zorder.split(",")) if args.zorder else None
     n = rewrite_files(
         table, sort_by=("conv_id", "turn_idx"), order=order,
         target_file_rows=args.target_file_rows,
         drop_tombstones_below_lsn=horizon,
+        zorder=zorder,
     )
-    return {"table": args.table, "mode": mode, "partitions_rewritten": n}
+    out = {"table": args.table, "mode": mode, "partitions_rewritten": n}
+    if zorder:
+        out["zorder"] = list(zorder)
+    return out
 
 
 def cmd_changes(args) -> dict:
@@ -323,6 +328,11 @@ def build_parser() -> argparse.ArgumentParser:
     rw.add_argument("--root", required=True)
     rw.add_argument("--table", choices=["bronze", "silver"], default="bronze")
     rw.add_argument("--target-file-rows", type=int, default=None)
+    rw.add_argument(
+        "--zorder", default=None,
+        help="comma-separated columns for Morton-interleaved clustering "
+             "(OPTIMIZE ZORDER analog) instead of the lexicographic sort",
+    )
     rw.add_argument(
         "--drop-tombstones-below-lsn", type=int, default=None,
         help="tombstone horizon: an LSN for cow/key-MoR tables; a refresh "

@@ -248,6 +248,8 @@ def rewrite_files(
     drop_tombstones_below_lsn: int | None = None,
     order: tuple[str, ...] = DEFAULT_ORDER,
     target_file_rows: int | None = None,
+    zorder: tuple[str, ...] | None = None,
+    zorder_bits: int | None = None,
 ) -> int:
     """File-layout maintenance for long-lived CoW tables — the engine's
     ``OPTIMIZE ... ZORDER BY`` analog (reference
@@ -260,6 +262,19 @@ def rewrite_files(
     Outstanding key-MoR deltas of the rewritten partitions are resolved
     (compacted) in the same pass — never copied into the base raw. NOT
     for generation-MoR tables (use ``mor.compact_generations``).
+
+    ``zorder``: multi-dimensional clustering instead of ``sort_by`` —
+    rows are ordered by a Morton-interleaved key over these columns
+    (Delta ``OPTIMIZE ... ZORDER BY``), so per-file min/max stats stay
+    simultaneously tight on EVERY z column and bounds pruning works for
+    predicates on any of them, not just the leading sort key. Column
+    [lo, hi] ranges come from ONE bounded min/max agg here and are
+    persisted with the spec in the table's ``clustering`` property, so
+    every later base rewrite (cow refresh, compaction) re-applies the
+    same layout. Re-run ``rewrite_files`` to refresh ranges after the
+    value domain drifts. On an unpartitioned table the rewrite
+    range-partitions by the z key first, so the clustering is GLOBAL
+    across files, parallelism preserved.
 
     One shuffle + one partition replace; returns the number of rewritten
     partitions. Run it as maintenance cadence, not per epoch."""
@@ -289,9 +304,33 @@ def rewrite_files(
             & (F.col(order[0]) < F.lit(drop_tombstones_below_lsn))
         )
         df = df.where(~is_old_tomb)
+    zcluster = None
+    if zorder:
+        from maritime_activity_reports_cdc_spark.sources.lake import (
+            zorder_column,
+            zorder_rank_expr,
+        )
+
+        bits = zorder_bits or min(16, 62 // len(zorder))
+        dtypes = dict(df.dtypes)
+        aggs = []
+        for c in zorder:
+            r = zorder_rank_expr(c, dtypes[c])
+            aggs += [F.min(r).alias(f"lo_{c}"), F.max(r).alias(f"hi_{c}")]
+        row = df.agg(*aggs).first()  # one bounded driver action
+        ranges = {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in zorder}
+        zcluster = {"zorder": list(zorder), "bits": bits, "ranges": ranges}
+        zcol = zorder_column(dtypes, list(zorder), ranges, bits)
     part_col = table.snapshot().partition_by
     if part_col is not None:
         df = df.repartition(F.col(part_col))
+    elif zorder:
+        # global z clustering across files at full parallelism: range
+        # exchange on the z key, then the commit's sortWithinPartitions
+        # (from the clustering property) orders within each range
+        df = df.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism, zcol
+        )
     # ``target_file_rows`` splits each sorted partition into bounded
     # files whose per-file [min, max] stats cover DISJOINT sort-key
     # ranges — this is what keeps bounds-pruning effective as buckets
@@ -302,22 +341,25 @@ def rewrite_files(
     write_options = (
         {"maxRecordsPerFile": str(int(target_file_rows))} if target_file_rows else None
     )
+    # declare the layout as the table's write-order: every later base
+    # rewrite (cow refresh, compaction) re-applies it, so pruning keeps
+    # working instead of dying at the next compaction cycle
+    if zcluster is not None:
+        clustering = {**zcluster, "target_file_rows": target_file_rows}
+        summary_kind = {"operation_kind": "rewrite", "zorder": list(zorder)}
+        sort_arg = None  # _commit builds the z expression from the spec
+    else:
+        clustering = {"sort_by": list(sort_by), "target_file_rows": target_file_rows}
+        summary_kind = {"operation_kind": "rewrite", "sort_by": list(sort_by)}
+        sort_arg = sort_by
     table.replace_partitions(
         df,
-        summary={"operation_kind": "rewrite", "sort_by": list(sort_by)},
+        summary=summary_kind,
         partition_values=values,
         pre_partitioned=True,
         write_options=write_options,
-        sort_within=sort_by,
-        # declare the layout as the table's write-order: every later base
-        # rewrite (cow refresh, compaction) re-applies it, so pruning
-        # keeps working instead of dying at the next compaction cycle
-        properties_update={
-            "clustering": {
-                "sort_by": list(sort_by),
-                "target_file_rows": target_file_rows,
-            }
-        },
+        sort_within=sort_arg,
+        properties_update={"clustering": clustering},
     )
     return len(values)
 

@@ -583,8 +583,10 @@ class LakeTable:
         # raw (small, short-lived). Explicit caller args win.
         clustering = properties.get("clustering")
         if clustering and mode in ("replace", "overwrite"):
-            if sort_within is None and clustering.get("sort_by"):
-                sort_within = tuple(clustering["sort_by"])
+            if sort_within is None:
+                resolved = _clustering_sort_cols(clustering, schema)
+                if resolved is not None:
+                    sort_within = tuple(resolved)
             tfr = clustering.get("target_file_rows")
             if tfr and "maxRecordsPerFile" not in (write_options or {}):
                 write_options = {**(write_options or {}), "maxRecordsPerFile": str(int(tfr))}
@@ -818,6 +820,90 @@ class LakeTable:
 
     def _data_path(self) -> str:
         return os.path.join(self.path, _DATA_DIR)
+
+
+def zorder_rank_expr(col: str, dtype: str) -> F.Column:
+    """Order-preserving numeric rank of a column for z-order bucketing.
+
+    Numerics/timestamps cast to double; dates via timestamp; strings use
+    a 56-bit big-endian prefix of the UTF-8 bytes (preserves
+    lexicographic order over the first 7 bytes — columns whose values
+    share a long common prefix contribute little locality, which is the
+    honest limit of prefix ranking; bucket-partition such keys instead).
+    """
+    if dtype == "string":
+        return F.conv(
+            F.hex(F.substring(F.col(col).cast("binary"), 1, 7)), 16, 10
+        ).cast("double")
+    if dtype == "date":
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
+
+
+def zorder_column(
+    dtypes: dict[str, str],
+    cols: list[str],
+    ranges: dict[str, list[float]],
+    bits: int,
+) -> F.Column:
+    """Morton (z-order) interleaved sort key over ``cols``.
+
+    Each column is range-normalized into ``2^bits`` buckets using the
+    recorded [lo, hi] (uniform spacing — the Delta OPTIMIZE ZORDER
+    shape, where boundaries come from a bounded sample; here from one
+    min/max agg persisted in the table's clustering property), then the
+    bucket bits are interleaved so a run of consecutive z values spans a
+    tight hyper-rectangle in EVERY dimension — per-file min/max stats
+    stay simultaneously tight on all z columns, which lexicographic
+    sorting only achieves for the leading one. Nulls sort into bucket 0.
+    ``bits * len(cols)`` must fit a signed long.
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder needs at least one column")
+    if bits * n > 62:
+        raise ValueError(f"zorder width {bits}x{n} exceeds 62 bits")
+    top = (1 << bits) - 1
+    vals = []
+    for c in cols:
+        lo, hi = ranges[c]
+        r = zorder_rank_expr(c, dtypes[c])
+        if lo is not None and hi is not None and float(hi) > float(lo):
+            bucket = F.floor(
+                (r - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo))
+                * F.lit(float(top))
+            )
+            bucket = F.least(F.greatest(bucket, F.lit(0)), F.lit(top))
+        else:
+            bucket = F.lit(0)
+        vals.append(F.coalesce(bucket, F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, v in enumerate(vals):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return z
+
+
+def _clustering_sort_cols(
+    clustering: dict, schema: T.StructType
+) -> list | None:
+    """Resolve a persisted clustering spec into sortWithinPartitions
+    arguments: a z-order expression or the plain sort column names."""
+    if clustering.get("zorder"):
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        return [
+            zorder_column(
+                dtypes,
+                list(clustering["zorder"]),
+                clustering["ranges"],
+                int(clustering.get("bits", 16)),
+            )
+        ]
+    if clustering.get("sort_by"):
+        return list(clustering["sort_by"])
+    return None
 
 
 def _part_key(value: Any) -> str:

@@ -168,3 +168,75 @@ def test_rewrite_resolves_mor_deltas_and_keeps_tombstones(spark, tmp_path):
     tombs = t.read(tombstones="include").where(F.col("op") == "D").count()
     assert tombs > 0
     changes.unpersist()
+
+
+def _extents(snap):
+    out = []
+    for f in snap.all_files():
+        st = snap.file_stats[f]
+        out.append(
+            (st["x"][1] - st["x"][0], st["y"][1] - st["y"][0], st["__rows"])
+        )
+    return out
+
+
+def _weighted_extent(ext, dim):
+    total = sum(rows for _, _, rows in ext)
+    return sum(e[dim] * e[2] for e in ext) / total
+
+
+def test_zorder_rewrite_tightens_stats_on_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER analog: after a z-order rewrite, per-file [min,max]
+    is tight on BOTH z columns, so bounds pruning works for predicates on
+    either — lexicographic sort only achieves that for the leading key."""
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    ).orderBy(F.xxhash64("id"))  # destroy any incidental layout
+    schema = T.StructType([
+        T.StructField("x", T.IntegerType()), T.StructField("y", T.IntegerType()),
+    ])
+
+    lex = LakeTable.create(
+        spark, str(tmp_path / "lex"), schema=schema,
+        properties={"stats_cols": ["x", "y"]},
+    )
+    lex.append(grid)
+    rewrite_files(lex, sort_by=("x", "y"), target_file_rows=256)
+    zt = LakeTable.create(
+        spark, str(tmp_path / "z"), schema=schema,
+        properties={"stats_cols": ["x", "y"]},
+    )
+    zt.append(grid)
+    rewrite_files(zt, zorder=("x", "y"), zorder_bits=6, target_file_rows=256)
+
+    lex_ext = _extents(lex.snapshot())
+    z_ext = _extents(zt.snapshot())
+    assert len(z_ext) >= 8
+    # lexicographic: every 256-row file spans (nearly) the full y domain
+    assert min(ey for _, ey, _r in lex_ext) >= 48
+    # z-order: the ROW-WEIGHTED extent (what drives scan cost) is
+    # quadrant-tight on BOTH dims; tiny range-boundary remainder files
+    # may individually straddle a z discontinuity
+    assert _weighted_extent(z_ext, 0) <= 32
+    assert _weighted_extent(z_ext, 1) <= 32
+    assert _weighted_extent(lex_ext, 1) >= 48
+
+    # pruning on the NON-leading dimension: y < 8 touches a fraction of
+    # the z files but every lexicographic file
+    def overlapping(snap, col, lo, hi):
+        return sum(
+            1 for f in snap.all_files()
+            if snap.file_stats[f][col][0] <= hi and snap.file_stats[f][col][1] >= lo
+        )
+
+    assert overlapping(lex.snapshot(), "y", 0, 7) == len(lex_ext)
+    assert overlapping(zt.snapshot(), "y", 0, 7) <= len(z_ext) // 2
+
+    # the spec is the table's write-order: a later plain replace commit
+    # re-applies the z clustering from the persisted property
+    assert zt.properties()["clustering"]["zorder"] == ["x", "y"]
+    zt.replace_partitions(grid.coalesce(1))
+    z_ext2 = _extents(zt.snapshot())
+    assert _weighted_extent(z_ext2, 0) <= 32
+    assert _weighted_extent(z_ext2, 1) <= 32
