@@ -427,6 +427,63 @@ FROM events GROUP BY event_type
 """
 
 
+def tumbling_window_counts(spark, sf):
+    """T3/T4 batch twin: 1-hour tumbling event-time windows (the same
+    ``F.window`` expression the streaming path aggregates under a
+    watermark in ``streaming/windowed.py`` — here over the bounded events
+    table so the DuckDB oracle can verify the window algebra exactly)."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "n_users", "total_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_window_activity(spark, sf):
+    """Sliding (hopping) event-time windows — 2-hour span, 1-hour hop:
+    every event lands in exactly two windows. The oracle reproduces the
+    window assignment with an explicit 2-row hop-offset cross join."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events", "n_users",
+        )
+    )
+
+
+SLIDING_SQL = """
+SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+GROUP BY 1
+"""
+
+
 def user_compliance_profile(spark, sf):
     """A6 compliance agg analog: many measures + risk CASE in one groupBy
     (the reference ran one MERGE per vessel — G2)."""
@@ -2189,6 +2246,12 @@ QUERIES: dict[str, QuerySpec] = {
     "conditional_ingest_stats": QuerySpec(conditional_ingest_stats, STATS_SQL, "conditional counts (A3)"),
     "daily_activity_rollup": QuerySpec(daily_activity_rollup, DAILY_SQL, "daily rollup (A4)"),
     "event_type_performance": QuerySpec(event_type_performance, PERF_SQL, "grouped perf metrics + median (A5/A8)"),
+    "tumbling_window_counts": QuerySpec(
+        tumbling_window_counts, TUMBLING_SQL, "1h tumbling event-time windows (T3/T4 batch twin)"
+    ),
+    "sliding_window_activity": QuerySpec(
+        sliding_window_activity, SLIDING_SQL, "2h/1h hopping event-time windows"
+    ),
     "user_compliance_profile": QuerySpec(user_compliance_profile, COMPLIANCE_SQL, "compliance agg + risk CASE (A6)"),
     "quality_score_tiers": QuerySpec(quality_score_tiers, QUALITY_TIERS_SQL, "tiered quality scoring (P6/A2)"),
     "anomaly_flags": QuerySpec(anomaly_flags, ANOMALY_SQL, "anomaly flag counts (P7)"),
