@@ -268,6 +268,23 @@ def cmd_changes(args) -> dict:
     }
 
 
+def cmd_relay(args) -> dict:
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
+    from maritime_activity_reports_cdc_spark.streaming.feedrelay import FeedRelay
+
+    spark = _spark(args)
+    upstream = LakeTable.load(spark, args.upstream)
+    down = MedallionPipeline.load(spark, args.root)
+    relay = FeedRelay(upstream, down, args.checkpoint)
+    out = relay.run(
+        poll_secs=args.poll_secs,
+        max_polls=args.max_polls,
+        max_idle_polls=args.max_idle_polls,
+    )
+    return {"upstream": args.upstream, "root": args.root, **out}
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="cdc-engine")
     ap.add_argument("--config", default=None,
@@ -312,6 +329,18 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--root", required=True)
     ep.add_argument("--keep-last", type=int, default=None)
 
+    rl = sub.add_parser(
+        "relay",
+        help="lake-to-lake hop: tail an upstream table's change feed "
+             "into this medallion lake (exactly-once via epoch guard)",
+    )
+    rl.add_argument("--upstream", required=True, help="upstream lake table path")
+    rl.add_argument("--root", required=True, help="downstream medallion root")
+    rl.add_argument("--checkpoint", required=True)
+    rl.add_argument("--poll-secs", type=float, default=2.0)
+    rl.add_argument("--max-polls", type=int, default=None)
+    rl.add_argument("--max-idle-polls", type=int, default=3)
+
     cg = sub.add_parser(
         "changes", help="change-data-feed export (Delta table_changes analog)"
     )
@@ -348,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
         "setup": cmd_setup, "replay": cmd_replay, "stream": cmd_stream,
         "status": cmd_status, "compact": cmd_compact, "expire": cmd_expire,
         "rewrite": cmd_rewrite, "report": cmd_report, "changes": cmd_changes,
+        "relay": cmd_relay,
     }[args.cmd]
     print(json.dumps(fn(args), default=str))
     return 0
