@@ -228,6 +228,14 @@ def cmd_rewrite(args) -> dict:
     out = {"table": args.table, "mode": mode, "partitions_rewritten": n}
     if zorder:
         out["zorder"] = list(zorder)
+    if args.bloom_cols:
+        from maritime_activity_reports_cdc_spark.operators.bloomskip import (
+            build_bloom_index,
+        )
+
+        out["bloom_index"] = build_bloom_index(
+            table, tuple(args.bloom_cols.split(","))
+        )
     return out
 
 
@@ -361,6 +369,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--zorder", default=None,
         help="comma-separated columns for Morton-interleaved clustering "
              "(OPTIMIZE ZORDER analog) instead of the lexicographic sort",
+    )
+    rw.add_argument(
+        "--bloom-cols", default=None,
+        help="comma-separated columns: build a Bloom file-skipping index "
+             "(sidecar) after the rewrite, for point lookups on "
+             "non-sort columns",
     )
     rw.add_argument(
         "--drop-tombstones-below-lsn", type=int, default=None,

@@ -244,6 +244,7 @@ class LakeTable:
         bounds: dict[str, tuple] | None = None,
         deltas: str = "exclude",
         tombstones: str = "exclude",
+        bloom_keys: dict[str, Iterable[Any]] | None = None,
     ) -> DataFrame:
         """Manifest-level partition pruning: scan only the named partitions.
 
@@ -256,12 +257,23 @@ class LakeTable:
         (files without stats are kept). With time-correlated ingest this
         skips the bulk of a bucket's historical files when refreshing
         recently-active keys.
+
+        ``bloom_keys`` adds point-lookup pruning on columns the files
+        are NOT clustered by: {col: [values]} drops files whose Bloom
+        filter (see ``operators.bloomskip.build_bloom_index``) proves
+        every probed value absent; files without filters are kept.
         """
         snap = self.snapshot(version)
         wanted = {_part_key(v) for v in values}
         files = self._file_list(snap, wanted, deltas)
         if bounds:
             files = [f for f in files if _stats_overlap(snap.file_stats.get(f), bounds)]
+        if bloom_keys:
+            from maritime_activity_reports_cdc_spark.operators.bloomskip import (
+                prune_files_by_bloom,
+            )
+
+            files = prune_files_by_bloom(self, files, bloom_keys)
         return self._hide_tombstones(snap, self._read_files(snap, files), tombstones)
 
     @staticmethod

@@ -136,6 +136,7 @@ def test_cmd_rewrite_turn_mode_resolves_by_generation(spark, tmp_path):
     args = argparse.Namespace(
         cmd="rewrite", master="local[4]", shuffle_partitions=8, root=root,
         table="silver", target_file_rows=None, drop_tombstones_below_lsn=None,
+        zorder=None, bloom_cols=None,
     )
     out = cli.cmd_rewrite(args)
     assert out["mode"] == "turn" and out["partitions_rewritten"] >= 1
