@@ -571,6 +571,138 @@ FROM events GROUP BY event_type
 """
 
 
+def rollup_order_priorities(spark, sf):
+    """GROUPING SETS family: ROLLUP over (status, priority) with
+    grouping() markers — subtotal and grand-total rows in one pass
+    (Spark plans this as a single expand + hash aggregate; no
+    self-union of aggregations)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_event_values(spark, sf):
+    """Pivot (crosstab) with a FIXED pivot-value list: per-user event
+    counts spread across event-type columns. A fixed list keeps the
+    plan a single pass of conditional aggregates (the open-list form
+    needs a driver-side distinct first) — and makes the DuckDB twin the
+    identical conditional-aggregation SQL."""
+    ev = t(spark, sf, "events")
+    kinds = ["view", "click", "purchase"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+def distribution_window_stats(spark, sf):
+    """Distribution window family: percent_rank / cume_dist / ntile over
+    per-customer spend (deterministic tie-break on the key so both
+    engines rank identically).
+
+    Scale note: an unpartitioned ORDER BY window is a single-task sort —
+    correct-by-SQL here (the oracle's semantics ARE global), but at
+    100x the production path computes global ranks two-phase
+    (repartitionByRange on the order key, per-partition local ranks +
+    broadcast per-partition offsets), the same shape the salted dedup
+    window variant in operators.apply uses."""
+    c = t(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+DIST_WINDOW_SQL = """
+SELECT c_custkey,
+       ROUND(c_acctbal, 2) AS acctbal,
+       ROUND(percent_rank() OVER w, 9) AS pct_rank,
+       ROUND(cume_dist() OVER w, 9) AS cume,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def array_functions_embeddings(spark, sf):
+    """Higher-order array functions over the embedding column:
+    transform / filter / aggregate (the JVM-side lambda path — no UDFs)
+    with DuckDB list_* twins. The positive-mass terms promote float32 ->
+    double BEFORE scaling (single-precision arithmetic differs between
+    engines) and floor to exact BIGINTs (Spark's integral cast
+    truncates, DuckDB's rounds — floor removes the disagreement), so
+    the sum is order-independent and bit-identical."""
+    emb = t(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.when(
+                    x > 0, F.floor(x.cast("double") * 10000000).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("positive_mass_e7"),
+        F.round(F.array_max("embedding"), 6).alias("max_component"),
+    )
+
+
+ARRAY_HOF_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       CAST(list_aggregate(
+         list_transform(embedding,
+                        x -> CASE WHEN x > 0
+                                  THEN CAST(FLOOR(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+                                  ELSE 0 END),
+         'sum'
+       ) AS BIGINT) AS positive_mass_e7,
+       ROUND(list_aggregate(embedding, 'max'), 6) AS max_component
+FROM embeddings WHERE vec_id < 200
+"""
+
+
 def scalar_pipeline_orders(spark, sf):
     """2.9 scalar-function families: coalesce/least/round/datediff."""
     o = t(spark, sf, "orders")
@@ -2256,6 +2388,18 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_score_tiers": QuerySpec(quality_score_tiers, QUALITY_TIERS_SQL, "tiered quality scoring (P6/A2)"),
     "anomaly_flags": QuerySpec(anomaly_flags, ANOMALY_SQL, "anomaly flag counts (P7)"),
     "scalar_pipeline_orders": QuerySpec(scalar_pipeline_orders, SCALAR_SQL, "scalar function families (2.9)"),
+    "rollup_order_priorities": QuerySpec(
+        rollup_order_priorities, ROLLUP_SQL, "ROLLUP grouping sets + grouping() markers"
+    ),
+    "pivot_event_values": QuerySpec(
+        pivot_event_values, PIVOT_SQL, "fixed-list pivot (single-pass conditional aggs)"
+    ),
+    "distribution_window_stats": QuerySpec(
+        distribution_window_stats, DIST_WINDOW_SQL, "percent_rank/cume_dist/ntile windows"
+    ),
+    "array_functions_embeddings": QuerySpec(
+        array_functions_embeddings, ARRAY_HOF_SQL, "higher-order array fns (transform/filter/aggregate)"
+    ),
     "set_ops_cohorts": QuerySpec(set_ops_cohorts, SETOPS_SQL, "union/distinct cohorts (D1-D3)"),
     "left_join_null_handling": QuerySpec(left_join_null_handling, LEFT_JOIN_SQL, "left join + coalesce (J5/J7)"),
     "top_docs_per_source": QuerySpec(top_docs_per_source, TOP_DOCS_SQL, "top-k per group (W6/O2)"),
