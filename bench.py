@@ -178,28 +178,42 @@ def main() -> None:
             rewrite_files(pipe.silver, sort_by=("conv_id", "turn_idx"),
                           order=("_gen",), target_file_rows=rows_per_file)
             timings[f"{prefix}_load"] = round(time.monotonic() - t0, 3)
-            auto_b = os.path.join(work, f"{prefix}_auto_b")
-            shutil.copytree(auto_root, auto_b)
-            cow_root = os.path.join(work, f"{prefix}_cow")
-            shutil.copytree(auto_root, cow_root)
-            LakeTable.load(
-                spark, os.path.join(cow_root, "silver_transcripts")
-            ).set_properties({"layer_mode": "cow"})
-
-            for label, root, n_chunks in [
-                ("auto_micro", auto_root, sp_epochs),
-                ("auto_bulk1", auto_b, 1),
-                ("cow_micro", cow_root, sp_epochs),
-            ]:
-                pipe = MedallionPipeline.load(spark, root)
-                pipe.derived_every = 2
-                pipe.compact_every = compact_every
-                if compact_every == 0:
-                    pipe.compact_delta_depth = 10**6
-                replayer = CheckpointedReplayer(pipe, os.path.join(work, f"ck_{prefix}_{label}"))
-                t0 = time.monotonic()
-                replayer.run(updates, n_chunks=n_chunks, start_epoch=1)
-                timings[f"{prefix}_{label}"] = round(time.monotonic() - t0, 3)
+            # Interleaved best-of-N per leg (default 2): this shared VM
+            # shows transient CPU steal that swings identical legs ~2x
+            # between runs — a single sample per leg makes the headline
+            # micro/bulk and cow/auto ratios a lottery. Same protocol as
+            # BENCH/scaling.py. Each attempt replays into a FRESH clone
+            # of the loaded lake (epoch guards would no-op a re-run into
+            # the same one).
+            repeats = int(os.environ.get("BENCH_SPARSE_REPEATS", "2"))
+            legs = [
+                ("auto_micro", "auto", sp_epochs),
+                ("auto_bulk1", "auto", 1),
+                ("cow_micro", "cow", sp_epochs),
+            ]
+            for attempt in range(repeats):
+                for label, mode, n_chunks in legs:
+                    root = os.path.join(work, f"{prefix}_{label}_a{attempt}")
+                    shutil.copytree(auto_root, root)
+                    if mode == "cow":
+                        LakeTable.load(
+                            spark, os.path.join(root, "silver_transcripts")
+                        ).set_properties({"layer_mode": "cow"})
+                    pipe = MedallionPipeline.load(spark, root)
+                    pipe.derived_every = 2
+                    pipe.compact_every = compact_every
+                    if compact_every == 0:
+                        pipe.compact_delta_depth = 10**6
+                    replayer = CheckpointedReplayer(
+                        pipe, os.path.join(work, f"ck_{prefix}_{label}_a{attempt}")
+                    )
+                    t0 = time.monotonic()
+                    replayer.run(updates, n_chunks=n_chunks, start_epoch=1)
+                    secs = round(time.monotonic() - t0, 3)
+                    key = f"{prefix}_{label}"
+                    if key not in timings or secs < timings[key]:
+                        timings[key] = secs
+                    shutil.rmtree(root, ignore_errors=True)
             return n_sparse
 
         sp_convs = int(os.environ.get("BENCH_SPARSE_CONVS", "20000"))
@@ -266,6 +280,9 @@ def main() -> None:
                 "sparse_floor_cow_over_auto": round(
                     timings["cdc_sparse_cow_micro"] / timings["cdc_sparse_auto_micro"], 3
                 ),
+                # sparse legs are interleaved best-of-N (VM steal swings
+                # identical legs ~2x; see run_sparse_family)
+                "sparse_repeats": int(os.environ.get("BENCH_SPARSE_REPEATS", "2")),
                 "cores": cpus,
             }
         )
