@@ -64,12 +64,21 @@ def main() -> None:
     )
     from maritime_activity_reports_cdc_spark.streaming.runner import CheckpointedReplayer
 
+    # Interleaved best-of-N everywhere (default 2): transient CPU steal
+    # on this shared VM swings identical runs 1.3-2x; min-of-interleaved
+    # attempts is the same protocol BENCH/scaling.py uses. First-attempt
+    # timings still include genuine cold I/O; the second attempt's page
+    # cache is shared by all variants equally.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        t0 = time.monotonic()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+    for _attempt in range(repeats):
+        for name in HEADLINE:
+            fn = QUERIES[name].fn
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            secs = round(time.monotonic() - t0, 3)
+            if name not in timings or secs < timings[name]:
+                timings[name] = secs
 
     # CDC replay throughput: seeded change log -> full medallion relay
     # (bronze merge-on-read + compaction). Two regimes: 4-epoch microbatch
@@ -96,20 +105,29 @@ def main() -> None:
         n_events = log.count()
 
         eps = {}
-        for label, n_chunks in [("microbatch4", 4), ("bulk1", 1)]:
-            # derived_every=2 mirrors the reference's silver:gold trigger
-            # ratio (30s vs 60s); the replayer finalize()s, so the final
-            # gold state is identical to per-epoch refresh.
-            pipe = MedallionPipeline.create(
-                spark, os.path.join(work, f"lake_{label}"), n_buckets=cpus,
-                bronze_mode="mor", compact_every=4, derived_every=2,
-            )
-            replayer = CheckpointedReplayer(pipe, os.path.join(work, f"ckpt_{label}"))
-            t0 = time.monotonic()
-            replayer.run(log, n_chunks=n_chunks)
-            secs = time.monotonic() - t0
-            timings[f"cdc_replay_{label}"] = round(secs, 3)
-            eps[label] = round(n_events / secs, 1)
+        for attempt in range(repeats):
+            for label, n_chunks in [("microbatch4", 4), ("bulk1", 1)]:
+                # derived_every=2 mirrors the reference's silver:gold
+                # trigger ratio (30s vs 60s); the replayer finalize()s,
+                # so the final gold state is identical to per-epoch
+                # refresh. Fresh lake per attempt (epoch guards would
+                # absorb a re-run into the same one).
+                lake = os.path.join(work, f"lake_{label}_a{attempt}")
+                pipe = MedallionPipeline.create(
+                    spark, lake, n_buckets=cpus,
+                    bronze_mode="mor", compact_every=4, derived_every=2,
+                )
+                replayer = CheckpointedReplayer(
+                    pipe, os.path.join(work, f"ckpt_{label}_a{attempt}")
+                )
+                t0 = time.monotonic()
+                replayer.run(log, n_chunks=n_chunks)
+                secs = time.monotonic() - t0
+                key = f"cdc_replay_{label}"
+                if key not in timings or secs < timings[key]:
+                    timings[key] = round(secs, 3)
+                    eps[label] = round(n_events / secs, 1)
+                shutil.rmtree(lake, ignore_errors=True)
 
         # ---- sparse families: the production CDC regime ---------------
         # Big maintained table + recency-skewed update epochs touching a
@@ -185,13 +203,14 @@ def main() -> None:
             # BENCH/scaling.py. Each attempt replays into a FRESH clone
             # of the loaded lake (epoch guards would no-op a re-run into
             # the same one).
-            repeats = int(os.environ.get("BENCH_SPARSE_REPEATS", "2"))
+            reps = int(os.environ.get("BENCH_SPARSE_REPEATS",
+                                       os.environ.get("BENCH_REPEATS", "2")))
             legs = [
                 ("auto_micro", "auto", sp_epochs),
                 ("auto_bulk1", "auto", 1),
                 ("cow_micro", "cow", sp_epochs),
             ]
-            for attempt in range(repeats):
+            for attempt in range(reps):
                 for label, mode, n_chunks in legs:
                     root = os.path.join(work, f"{prefix}_{label}_a{attempt}")
                     shutil.copytree(auto_root, root)
@@ -282,7 +301,9 @@ def main() -> None:
                 ),
                 # sparse legs are interleaved best-of-N (VM steal swings
                 # identical legs ~2x; see run_sparse_family)
-                "sparse_repeats": int(os.environ.get("BENCH_SPARSE_REPEATS", "2")),
+                "repeats": repeats,
+                "sparse_repeats": int(os.environ.get(
+                    "BENCH_SPARSE_REPEATS", os.environ.get("BENCH_REPEATS", "2"))),
                 "cores": cpus,
             }
         )
