@@ -94,6 +94,14 @@ def build_bloom_index(table, cols: tuple[str, ...], fpp: float = 0.01) -> dict:
     per-row Python in any table scan — each task reads whole key columns
     via parquet and hashes distinct values only). Returns
     ``{"files": N, "sidecar": name, "bytes": total}``.
+
+    Scale note: the bit blobs are collected to the driver for the
+    single-sidecar write — total bytes ~ 1.2 * Σ per-file distinct keys
+    at fpp=0.01 (a few hundred MB at ~10^5 files). Beyond that, shard
+    the sidecar: have each task write its own blob file and collect only
+    the (rel, col, shard, offset) header rows — the reader's lazy-load
+    path is already per-sidecar-agnostic. Declared, not built: this
+    engine's lakes stay under the single-sidecar regime.
     """
     import pandas as pd
     from pyspark.sql import types as T

@@ -77,3 +77,51 @@ def test_replay_converges_to_naive_fold(spark, tmp_path_factory, ops, n_chunks, 
         assert len(actual) == 0
     else:
         assert_states_equal(actual, expected)
+
+
+@pytest.mark.parametrize("apply_mode", ["cow", "mor"])
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops, n_chunks=st.integers(min_value=1, max_value=4))
+def test_changefeed_round_trip_converges_to_naive_fold(
+    spark, tmp_path_factory, ops, n_chunks, apply_mode
+):
+    """Change-feed round-trip law under ADVERSARIAL logs: for any
+    well-formed op interleaving and chunking, a replica built solely
+    from the source table's change feed equals both the source and the
+    naive single-threaded fold — including stale-after-tombstone and
+    duplicate-redelivery sequences the feed must classify as no-ops."""
+    from maritime_activity_reports_cdc_spark.operators.apply import read_merged
+    from maritime_activity_reports_cdc_spark.operators.changefeed import (
+        ChangeFeedTail,
+        changes_to_batch,
+    )
+
+    changes = spark.createDataFrame(_rows(ops), CHANGE_SCHEMA)
+    expected = naive_replay(changes)
+
+    root = tmp_path_factory.mktemp("cdfprop")
+    src = bronze.create_transcripts_table(
+        spark, str(root / "src"), n_buckets=2, apply_mode=apply_mode
+    )
+    replica = bronze.create_transcripts_table(
+        spark, str(root / "dst"), n_buckets=2, apply_mode="cow"
+    )
+    tail = ChangeFeedTail(src, str(root / "off.json"))
+    chunks = changes.randomSplit([1.0] * n_chunks, seed=11)
+    for i, chunk in enumerate(chunks):
+        bronze.apply_transcript_batch(src, chunk, epoch=i)
+        polled = tail.poll()
+        if polled is None:
+            continue  # empty chunk -> no commit -> nothing to relay
+        feed, upto = polled
+        bronze.apply_transcript_batch(replica, changes_to_batch(feed), epoch=upto)
+        tail.ack(upto)
+
+    actual = table_state(read_merged(replica))
+    if expected.empty:
+        assert len(actual) == 0
+    else:
+        assert_states_equal(actual, expected)
