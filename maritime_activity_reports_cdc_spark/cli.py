@@ -251,7 +251,16 @@ def cmd_changes(args) -> dict:
     table = {"bronze": p.bronze, "silver": p.silver}[args.table]
     # turn/auto silver deltas are ordered by refresh generation — a
     # re-enriched row keeps its (lsn, op_ordinal) envelope, so the feed
-    # must arbitrate by _gen exactly like cmd_rewrite resolves
+    # must arbitrate by _gen exactly like cmd_rewrite resolves.
+    # Generation-marker MoR deltas (layer_mode='mor') use a different
+    # resolution algebra (rank-0 markers delete by absence) that the
+    # feed's per-key dedup cannot interpret — fold them first.
+    if args.table == "silver" and p.layer_mode == "mor":
+        raise SystemExit(
+            "change feed over generation-MoR silver requires folding the "
+            "marker deltas first: run `compact` (or `rewrite --table "
+            "silver`), then re-run `changes`"
+        )
     order = (
         ("_gen",)
         if args.table == "silver" and p.layer_mode in ("turn", "auto")

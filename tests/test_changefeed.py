@@ -320,3 +320,65 @@ def test_cli_relay_verb_tails_upstream(spark, tmp_path):
     }
     assert got[("c1", 0)] == "s0-v2" and ("c1", 1) not in got
     assert got[("c2", 0)] == "new"
+
+
+def test_silver_turn_mode_feed_arbitrates_by_generation(spark, tmp_path):
+    """Change feed over a TURN-mode silver table: deltas are re-enriched
+    rows whose (lsn, op_ordinal) envelope is unchanged — only _gen
+    distinguishes images — so the feed must resolve by generation (the
+    cmd_rewrite lesson applied to the feed). A ts-moving update must
+    surface BOTH the updated turn and its re-enriched successor as
+    update pre/post pairs, with the postimages carrying fresh gap_secs."""
+    import datetime as dt
+
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.sources.generator import CHANGE_SCHEMA
+
+    T0 = dt.datetime(2025, 5, 1, 12, 0, 0)
+    p = MedallionPipeline.create(
+        spark, str(tmp_path / "lake"), n_buckets=2, layer_mode="turn",
+        compact_every=10_000,
+    )
+    rows0 = [
+        ("I", 1, 0, T0, "cA", 0, "system", "sys", None, T0),
+        ("I", 2, 0, T0, "cA", 1, "user", "hello", None,
+         T0 + dt.timedelta(seconds=60)),
+    ]
+    p.apply_epoch(spark.createDataFrame(rows0, CHANGE_SCHEMA), epoch=0)
+    v1 = p.silver.current_version()
+    upd = [("U", 3, 0, T0, "cA", 0, "system", "sys", None,
+            T0 + dt.timedelta(seconds=30))]
+    p.apply_epoch(spark.createDataFrame(upd, CHANGE_SCHEMA), epoch=1)
+
+    ch = read_changes(p.silver, v1, order=("_gen",))
+    m = _changes_map(ch)
+    assert set(m) == {
+        ("cA", 0, "update_preimage"), ("cA", 0, "update_postimage"),
+        ("cA", 1, "update_preimage"), ("cA", 1, "update_postimage"),
+    }
+    # successor turn's enrichment moved with the predecessor's new ts
+    assert m[("cA", 1, "update_preimage")].gap_secs == 60.0
+    assert m[("cA", 1, "update_postimage")].gap_secs == 30.0
+    # internal MoR columns never reach the feed
+    assert not any(c.startswith("_") and c not in
+                   (CHANGE_TYPE_COL, COMMIT_VERSION_COL) for c in ch.columns)
+
+
+def test_cli_changes_guards_gen_marker_silver(spark, tmp_path):
+    import argparse
+
+    import pytest as _pytest
+
+    from maritime_activity_reports_cdc_spark import cli
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+
+    MedallionPipeline.create(
+        spark, str(tmp_path / "lake"), n_buckets=2, layer_mode="mor"
+    )
+    args = argparse.Namespace(
+        cmd="changes", master="local[4]", shuffle_partitions=8, config=None,
+        root=str(tmp_path / "lake"), table="silver", since_version=0,
+        end_version=None, output=None,
+    )
+    with _pytest.raises(SystemExit, match="generation-MoR"):
+        cli.cmd_changes(args)
