@@ -174,7 +174,11 @@ def _classify_upserts(
         beats = F.struct(*[F.col(c) for c, _ in order_pairs]) > F.struct(
             *[F.col(pc).alias(c) for c, pc in order_pairs]
         )
-        wins = ~present | beats
+        # null order on either side makes the comparison null, which a
+        # WHERE would silently drop from the feed — default such rows to
+        # "wins" (emit) rather than vanish: a spurious update is visible
+        # and idempotent downstream; a silently missing change is not.
+        wins = ~present | F.coalesce(beats, F.lit(True))
     else:
         wins = F.lit(True)
 
