@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Any, Iterable
@@ -758,6 +759,11 @@ class LakeTable:
             raise CommitConflict(
                 f"table advanced to v{current} while writing v{snap.version}"
             )
+        # Commit wall-clock (Delta CDF's _commit_timestamp analog): every
+        # snapshot records when it was committed so the change-feed
+        # producer can stamp feed rows. setdefault keeps replayed/cloned
+        # summaries stable if a caller supplied its own.
+        snap.summary.setdefault("committed_at_ms", int(time.time() * 1000))
         # Per-partition manifests: rewrite only the touched partitions'
         # ref files; everything else reuses the parent's (commit cost
         # O(changed), not O(total files)). touched=None => all changed.

@@ -360,8 +360,12 @@ def test_silver_turn_mode_feed_arbitrates_by_generation(spark, tmp_path):
     assert m[("cA", 1, "update_preimage")].gap_secs == 60.0
     assert m[("cA", 1, "update_postimage")].gap_secs == 30.0
     # internal MoR columns never reach the feed
+    from maritime_activity_reports_cdc_spark.operators.changefeed import (
+        COMMIT_TS_COL,
+    )
     assert not any(c.startswith("_") and c not in
-                   (CHANGE_TYPE_COL, COMMIT_VERSION_COL) for c in ch.columns)
+                   (CHANGE_TYPE_COL, COMMIT_VERSION_COL, COMMIT_TS_COL)
+                   for c in ch.columns)
 
 
 def test_cli_changes_guards_gen_marker_silver(spark, tmp_path):
@@ -382,3 +386,123 @@ def test_cli_changes_guards_gen_marker_silver(spark, tmp_path):
     )
     with _pytest.raises(SystemExit, match="generation-MoR"):
         cli.cmd_changes(args)
+
+
+def test_feed_rows_carry_commit_timestamp(fed_table):
+    """Delta CDF contract parity: every feed row carries _commit_timestamp
+    from the snapshot's commit metadata, non-null and non-decreasing in
+    commit version (reference gold/table_setup.py:82-84 consumes it)."""
+    from maritime_activity_reports_cdc_spark.operators.changefeed import (
+        COMMIT_TS_COL,
+    )
+
+    t, _, v2 = fed_table
+    ch = read_changes(t, 0, v2)
+    assert COMMIT_TS_COL in ch.columns
+    rows = ch.select(COMMIT_VERSION_COL, COMMIT_TS_COL).distinct().collect()
+    assert all(r[COMMIT_TS_COL] is not None for r in rows)
+    by_version = sorted((r[COMMIT_VERSION_COL], r[COMMIT_TS_COL]) for r in rows)
+    ts_in_version_order = [ts for _, ts in by_version]
+    assert ts_in_version_order == sorted(ts_in_version_order)
+
+
+def test_expired_range_raises_typed_error(spark, tmp_path):
+    """Retention past a consumer's offset raises FeedExpiredError (a
+    ValueError subclass for pre-round-5 callers), not a silent wedge."""
+    from maritime_activity_reports_cdc_spark.operators.changefeed import (
+        FeedExpiredError,
+    )
+
+    t = bronze.create_transcripts_table(
+        spark, str(tmp_path / "t"), n_buckets=2, apply_mode="cow"
+    )
+    for i in range(4):
+        bronze.apply_transcript_batch(
+            t, _batch(spark, [("U", 100 + i, 0, TS, "c1", 0, "system",
+                               f"v{i}", None, TS)]), epoch=i,
+        )
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FeedExpiredError):
+        read_changes(t, 0).count()
+    with pytest.raises(ValueError):  # backward-compatible type
+        read_changes(t, 0).count()
+
+
+def test_keys_only_table_diff_classifies_by_presence(spark, tmp_path):
+    """A replace/overwrite commit on a keys-only table (no payload value
+    columns) must classify by presence alone — the empty-struct compare
+    used to raise at plan time (ADVICE r4)."""
+    from pyspark.sql import types as T
+
+    from maritime_activity_reports_cdc_spark.sources.lake import LakeTable
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.replace_partitions(
+        spark.createDataFrame([("a", 0), ("b", 1)], schema)
+    )
+    v1 = t.current_version()
+    t.replace_partitions(
+        spark.createDataFrame([("a", 0), ("c", 2)], schema)
+    )
+    m = {
+        (r.conv_id, r.turn_idx, r[CHANGE_TYPE_COL])
+        for r in read_changes(t, v1, keys=("conv_id", "turn_idx"),
+                              order=()).collect()
+    }
+    assert m == {("b", 1, "delete"), ("c", 2, "insert")}
+
+
+def test_feed_relay_bootstraps_after_retention(spark, tmp_path):
+    """Self-healing relay: upstream retention expires commits past the
+    acked offset (including a delete the relay never saw); with
+    bootstrap_on_expiry=True the relay re-baselines from a full snapshot —
+    downstream converges to the upstream state, vanished keys included —
+    then resumes incremental tailing."""
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.streaming.feedrelay import FeedRelay
+
+    up = bronze.create_transcripts_table(
+        spark, str(tmp_path / "up"), n_buckets=2, apply_mode="cow"
+    )
+    down = MedallionPipeline.create(spark, str(tmp_path / "down"), n_buckets=2)
+    relay = FeedRelay(up, down, str(tmp_path / "ck"), bootstrap_on_expiry=True)
+
+    bronze.apply_transcript_batch(up, _epoch0(spark), epoch=0)
+    assert relay.run_once() is not None  # incremental hop, offset acked
+
+    # retention window: an update + a delete the relay will never see as diffs
+    bronze.apply_transcript_batch(up, _batch(spark, [
+        ("U", 300, 0, TS, "c1", 0, "system", "s0-resync", None, TS),
+        ("D", 301, 1, TS, "c9", 1, None, None, None, None),
+    ]), epoch=1)
+    bronze.apply_transcript_batch(up, _batch(spark, [
+        ("I", 302, 0, TS, "c3", 0, "system", "fresh", None, TS),
+    ]), epoch=2)
+    up.expire_snapshots(keep_last=1)
+
+    out = relay.run_once()
+    assert out is not None and out.get("bootstrap") is True
+    assert relay.run_once() is None  # caught up after resync
+    down.finalize()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in down.read_silver().select("conv_id", "turn_idx", "text").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in bronze.read_transcripts(up).select(
+            "conv_id", "turn_idx", "text").collect()
+    }
+    assert got == want
+    assert ("c9", 1) not in got  # the unseen delete reached downstream
+
+    # incremental tailing resumes after the bootstrap
+    bronze.apply_transcript_batch(up, _batch(spark, [
+        ("U", 400, 0, TS, "c3", 0, "system", "fresh-v2", None, TS),
+    ]), epoch=3)
+    assert relay.run_once().get("bootstrap") is None
