@@ -2516,3 +2516,21 @@ QUERIES: dict[str, QuerySpec] = {
         "temperature-scaled (count^alpha) mixture weights per source"
     ),
 }
+
+# The 14 round-4 additions had no driver CORRECTNESS row in round 4 (the
+# driver snapshotted the catalog before they landed). Order them FIRST so
+# any driver run that samples or truncates the catalog exercises the
+# not-yet-driver-verified entries before the 50 already-green ones
+# (VERDICT r4, next-round item 1).
+_DRIVER_UNVERIFIED_FIRST = [
+    "badword_filter_docs", "bm25_topk_docs", "bpe_token_count_docs",
+    "chunk_docs", "cluster_balanced_sample", "dsir_importance_docs",
+    "hybrid_rrf_docs", "kmeans_embeddings", "neardup_cluster_docs",
+    "repetition_filter_docs", "scrub_pii_docs", "segment_dedup_docs",
+    "temperature_mixture_weights", "unigram_nll_docs",
+]
+assert all(n in QUERIES for n in _DRIVER_UNVERIFIED_FIRST)
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_UNVERIFIED_FIRST},
+    **{n: s for n, s in QUERIES.items() if n not in _DRIVER_UNVERIFIED_FIRST},
+}

@@ -1,13 +1,18 @@
 """Local mirror of the driver's correctness gate: every oracle-paired
 query in ``__spark_entry__`` runs on Spark AND DuckDB at sf0.001; row sets
-must match (order-insensitive, column-name aligned)."""
+must match (order-insensitive, column-name aligned), and the canonical
+md5-of-sorted-rows hashes must be IDENTICAL (the driver's hash gate shape)
+— local green predicts driver green bit-for-bit, not just within
+tolerance (VERDICT r4, next-round item 8)."""
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -43,6 +48,40 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _canon_cell(x) -> str:
+    """Engine-independent scalar rendering for the row hash: floats
+    rounded to 9 dp then repr'd (shortest round-trip), timestamps at
+    microsecond text, arrays element-wise, null and NaN collapse."""
+    if x is None:
+        return ""
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(v) for v in x) + "]"
+    if isinstance(x, (np.floating, float)):
+        x = float(x)
+        if math.isnan(x):
+            return ""
+        return repr(round(x, 9))
+    if isinstance(x, np.integer):
+        return str(int(x))
+    if isinstance(x, pd.Timestamp):
+        return x.isoformat(sep=" ")
+    if x is pd.NaT:
+        return ""
+    return str(x)
+
+
+def _row_hash(df: pd.DataFrame) -> str:
+    """md5 of the sorted canonical rows over name-sorted columns — the
+    driver's value-hash shape. Equal hashes == bit-for-bit equal result
+    sets under the canonicalization above."""
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        "\x1f".join(_canon_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    return hashlib.md5("\n".join(rows).encode("utf-8")).hexdigest()
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -76,6 +115,12 @@ def _assert_frames_match(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFr
         if len(mismatches) > 5:
             break
     assert not mismatches, f"{name}: value mismatches {mismatches[:5]}"
+    ha, hb = _row_hash(spark_df), _row_hash(oracle_df)
+    assert ha == hb, (
+        f"{name}: canonical row-hash mismatch ({ha} vs {hb}) — results are "
+        "tolerance-close but not bit-identical; the driver's hash gate "
+        "would flag this"
+    )
 
 
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
