@@ -506,3 +506,76 @@ def test_feed_relay_bootstraps_after_retention(spark, tmp_path):
         ("U", 400, 0, TS, "c3", 0, "system", "fresh-v2", None, TS),
     ]), epoch=3)
     assert relay.run_once().get("bootstrap") is None
+
+
+def test_feed_relay_chains_two_hops_with_crashes(spark, tmp_path):
+    """The reference's full E2/E3 topology (silver/cdf_processor.py
+    chained hops in /root/reference): raw change log -> upstream bronze
+    -> [feed] -> mid medallion lake -> [feed over mid.bronze] -> export
+    medallion lake. Three-lake convergence, with a simulated crash
+    (lost ack) at EACH hop boundary proving exactly-once end to end, and
+    per-cycle cost asserted O(change volume): each hop moves at most the
+    chunk's rows and commits exactly one bronze snapshot per cycle."""
+    import json as _json
+
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.streaming.feedrelay import FeedRelay
+
+    up = bronze.create_transcripts_table(
+        spark, str(tmp_path / "up"), n_buckets=4, apply_mode="mor"
+    )
+    mid = MedallionPipeline.create(spark, str(tmp_path / "mid"), n_buckets=4)
+    out = MedallionPipeline.create(spark, str(tmp_path / "out"), n_buckets=4)
+    relay1 = FeedRelay(up, mid, str(tmp_path / "ck1"))
+    relay2 = FeedRelay(mid.bronze, out, str(tmp_path / "ck2"))
+
+    log = generate_transcript_changes(
+        spark, n_conversations=25, turns_per_conv=6,
+        update_ratio=0.3, delete_ratio=0.1, seed=23,
+    )
+    chunks = [c.cache() for c in log.randomSplit([1.0, 1.0, 1.0], seed=5)]
+    for i, chunk in enumerate(chunks):
+        n_chunk = chunk.count()
+        bronze.apply_transcript_batch(up, chunk, epoch=i)
+        mid_bronze_v = mid.bronze.current_version()
+        out_bronze_v = out.bronze.current_version()
+        r1 = relay1.run_once()
+        r2 = relay2.run_once()
+        # cost is change volume, not table volume; one commit per cycle
+        assert 0 < r1["n_events"] <= n_chunk
+        assert 0 < r2["n_events"] <= r1["n_events"]
+        assert mid.bronze.current_version() == mid_bronze_v + 1
+        assert out.bronze.current_version() == out_bronze_v + 1
+
+    # crash between apply and ack at EACH hop boundary: rewind the acked
+    # offset, re-run, and require the epoch guard to swallow redelivery
+    for relay, down in ((relay1, mid), (relay2, out)):
+        state = _json.load(open(relay.tail.checkpoint_path))
+        before = {
+            name: getattr(down, name).current_version()
+            for name in ("bronze", "silver")
+        }
+        relay.tail.ack(state["version"] - 1)
+        assert relay.run_once() is not None  # redelivered...
+        for name, v in before.items():
+            assert getattr(down, name).current_version() == v, (
+                f"redelivery advanced {name}"
+            )  # ...but no state advanced
+        assert relay.run_once() is None  # caught up again
+
+    mid.finalize()
+    out.finalize()
+    want = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in bronze.read_transcripts(up).select(
+            "conv_id", "turn_idx", "text").collect()
+    }
+    for lake in (mid, out):
+        got = {
+            (r.conv_id, r.turn_idx): r.text
+            for r in lake.read_silver().select(
+                "conv_id", "turn_idx", "text").collect()
+        }
+        assert got == want
+    for chunk in chunks:
+        chunk.unpersist()
