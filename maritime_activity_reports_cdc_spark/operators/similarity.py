@@ -314,6 +314,85 @@ def banded_lsh_topk(
     )
 
 
+def _strip_seed_centroids(
+    vectors: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Deterministic seed centroids: split the id RANGE into ``k``
+    equal-width strips and take each strip's minimum-id vector —
+    id-layout independent, RNG-free, reproducible in any SQL engine
+    (exact integer division matches DuckDB ``//``). Returns a
+    ``(_cell, _cvec)`` frame with <= k rows."""
+    lo, hi = vectors.agg(F.min(id_col), F.max(id_col)).collect()[0]
+    if lo is None:
+        raise ValueError("strip centroids: vectors frame is empty")
+    span = int(hi) - int(lo) + 1
+    strip = F.expr(f"(({id_col} - {int(lo)}) * {int(k)}) div {span}")
+    cent_ids = vectors.groupBy(strip.alias("_cell")).agg(
+        F.min(id_col).alias("_cid")
+    )
+    vec = F.col(vec_col)
+    if round_dp is not None:
+        vec = F.transform(vec_col, lambda x: F.round(x.cast("double"), round_dp))
+    return vectors.join(
+        F.broadcast(cent_ids), F.col(id_col) == F.col("_cid")
+    ).select("_cell", vec.alias("_cvec"))
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF quantizer with the engine's spherical k-means: strip
+    seeds refined by ``n_iter`` Lloyd rounds (assign by max cosine,
+    recompute centroids as member means). Returns a ``(cell, centroid)``
+    frame that plugs straight into ``ivf_topk(centroids=...)`` /
+    ``knn_classify(method='ivf', centroids=...)`` — the offline
+    train-once / probe-many split a 100-TB ANN deployment runs (FAISS's
+    IVF train/add separation). Same determinism discipline as
+    ``kmeans_embeddings``: RNG-free seeds, every updated component
+    rounded to 6 dp so summation order never leaks into assignments.
+    Scale: each round is one broadcast-join assignment (no vector
+    shuffle) + a (cluster, dim)-keyed partial agg; centroids stay a
+    k-row frame, never collected."""
+    if n_lists <= 0 or n_iter <= 0:
+        raise ValueError(
+            f"n_lists and n_iter must be positive, got {n_lists}, {n_iter}"
+        )
+    cent = _strip_seed_centroids(vectors, n_lists, id_col, vec_col, round_dp=6)
+    for _ in range(n_iter):
+        scored = vectors.join(F.broadcast(cent)).withColumn(
+            "_csim", cosine_similarity(F.col(vec_col), F.col("_cvec"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), "_cell")
+        assigned = (
+            scored.withColumn("_crk", F.row_number().over(w))
+            .where(F.col("_crk") == 1)
+            .select(id_col, vec_col, "_cell")
+        )
+        cent = (
+            assigned.select("_cell", F.posexplode(vec_col).alias("_p", "_x"))
+            .groupBy("_cell", "_p")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cvec")
+            )
+        )
+    return cent.select(
+        F.col("_cell").cast("long").alias("cell"), F.col("_cvec").alias("centroid")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -324,6 +403,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     query_vec_col: str = "qe",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cell-probe
     alternative to hyperplane LSH: vectors partition into ``n_lists``
@@ -338,27 +418,21 @@ def ivf_topk(
     yield centroids; a prior modular scheme assumed dense ids from 0 and
     could silently produce zero centroids), pure column algebra, and
     reproducible in any SQL engine (the DuckDB oracle runs the identical
-    quantizer). At 100 TB the refinement step is an offline concern —
-    swap in trained centroids without touching this plan. Shapes: one
-    thin min/max agg + one tiny groupBy seed the centroids; assignment
+    quantizer). Pass ``centroids`` — a ``(cell, centroid)`` frame, e.g.
+    from :func:`train_ivf_centroids` — to use a TRAINED quantizer
+    instead: cells hug the data's actual clusters, so recall at a fixed
+    ``n_probe`` budget rises (measured in pytest) while the plan shape
+    is unchanged. Shapes: one thin min/max agg + one tiny groupBy seed
+    the centroids (skipped entirely with trained centroids); assignment
     is a broadcast join against <= n_lists centroids (no shuffle of the
     vectors beyond the cell grouping); the probe is an equi-join on the
     cell id. Returns (qid, nid, rk, sim)."""
-    lo, hi = vectors.agg(F.min(id_col), F.max(id_col)).collect()[0]
-    if lo is None:
-        raise ValueError("ivf_topk: vectors frame is empty — no centroids")
-    span = int(hi) - int(lo) + 1
-    # strip index via exact integer division (bit-identical to DuckDB //)
-    strip = F.expr(f"(({id_col} - {int(lo)}) * {int(n_lists)}) div {span}")
-    cent_ids = (
-        vectors.groupBy(strip.alias("_cell"))
-        .agg(F.min(id_col).alias("_cid"))
-    )
-    cent = (
-        vectors.join(
-            F.broadcast(cent_ids), F.col(id_col) == F.col("_cid")
-        ).select(F.col("_cell"), F.col(vec_col).alias("_cvec"))
-    )
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cell").alias("_cell"), F.col("centroid").alias("_cvec")
+        )
+    else:
+        cent = _strip_seed_centroids(vectors, n_lists, id_col, vec_col)
     # cell assignment: argmax cosine over the (broadcast) centroid set
     def _assign(df: DataFrame, idc: str, vc: str, out: str) -> DataFrame:
         scored = df.join(F.broadcast(cent)).withColumn(
@@ -521,6 +595,7 @@ def knn_classify(
     hash_fn: str = "xxhash64",
     n_lists: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Majority label among the top-k neighbors (ties -> smallest
     label). Returns (qid, predicted_label).
@@ -545,7 +620,7 @@ def knn_classify(
     elif method == "ivf":
         topk = ivf_topk(
             vectors, queries, k, n_lists, n_probe, id_col, vec_col,
-            query_id_col, query_vec_col,
+            query_id_col, query_vec_col, centroids=centroids,
         )
     elif method == "brute":
         topk = brute_force_topk(
@@ -598,19 +673,7 @@ def kmeans_embeddings(
     assignment (sim rounded to 6)."""
     if k <= 0 or n_iter <= 0:
         raise ValueError(f"k and n_iter must be positive, got k={k} n_iter={n_iter}")
-    lo, hi = vectors.agg(F.min(id_col), F.max(id_col)).collect()[0]
-    if lo is None:
-        raise ValueError("kmeans_embeddings: vectors frame is empty")
-    span = int(hi) - int(lo) + 1
-    strip = F.expr(f"(({id_col} - {int(lo)}) * {int(k)}) div {span}")
-    seed_ids = vectors.groupBy(strip.alias("_cell")).agg(F.min(id_col).alias("_cid"))
-    cent = (
-        vectors.join(F.broadcast(seed_ids), F.col(id_col) == F.col("_cid"))
-        .select(
-            "_cell",
-            F.transform(vec_col, lambda x: F.round(x.cast("double"), 6)).alias("_cvec"),
-        )
-    )
+    cent = _strip_seed_centroids(vectors, k, id_col, vec_col, round_dp=6)
 
     def _assign(c: DataFrame) -> DataFrame:
         scored = vectors.join(F.broadcast(c)).withColumn(
