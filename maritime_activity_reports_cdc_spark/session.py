@@ -58,6 +58,18 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"),
         )
+        # The manifest hands Spark EXACT leaf-file lists — there is no
+        # directory tree to discover — yet above this threshold Spark
+        # launches a whole listing JOB per read (InMemoryFileIndex
+        # parallel discovery), ~0.2-0.3 s of serial driver+scheduler
+        # time per table read; per-epoch that throttles the sparse-floor
+        # regime and the N->4N scaling efficiency. Keep listing inline.
+        # (Deployments on high-latency object stores that read
+        # thousands-of-file tables per scan may lower it back.)
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_DISCOVERY_THRESHOLD", "65536"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -607,6 +607,7 @@ class LakeTable:
         commit_id = uuid.uuid4().hex[:12]
         commit_rel = os.path.join(_DATA_DIR, f"c{parent.version + 1:08d}-{commit_id}")
         commit_abs = os.path.join(self.path, commit_rel)
+        _prof_t0 = time.monotonic()
 
         part_col = parent.partition_by
         if part_col is not None:
@@ -649,6 +650,7 @@ class LakeTable:
             writer.parquet(commit_abs)
             new_files = {"": _collect_flat_files(commit_abs, commit_rel)}
         new_files = {k: v for k, v in new_files.items() if v}
+        _prof_t1 = time.monotonic()
 
         deltas = {k: list(v) for k, v in parent.delta_files.items()}
         if mode == "append":
@@ -689,6 +691,7 @@ class LakeTable:
         live = {f for fl in files.values() for f in fl}
         live |= {f for fl in deltas.values() for f in fl}
         file_stats = {f: st for f, st in file_stats.items() if f in live}
+        _prof_t2 = time.monotonic()
 
         epochs = dict(parent.epochs)
         if epoch is not None:
@@ -713,6 +716,17 @@ class LakeTable:
         except CommitConflict:
             shutil.rmtree(commit_abs, ignore_errors=True)
             raise
+        # Per-phase commit profile (diagnostics only; read by
+        # BENCH/floor_profile.py for the per-epoch serial breakdown):
+        # write = the Spark job, stats = footer bounds, manifest = JSON IO.
+        _prof_t3 = time.monotonic()
+        self.last_commit_profile = {
+            "mode": mode,
+            "write_secs": round(_prof_t1 - _prof_t0, 4),
+            "stats_secs": round(_prof_t2 - _prof_t1, 4),
+            "manifest_secs": round(_prof_t3 - _prof_t2, 4),
+            "files": sum(len(v) for v in new_files.values()),
+        }
         return snap
 
     def _collect_stats(self, rels: list[str], stats_cols: list[str]) -> dict[str, dict]:
