@@ -90,6 +90,7 @@ def main() -> None:
         step = max(1, (span + sp_epochs - 1) // sp_epochs)
         epochs_out = []
         pipe.async_derived = True
+        pipe.async_maintenance = bool(int(os.environ.get("FLOOR_ASYNC_MAINT", "0")))
         for i in range(sp_epochs):
             lo_i = int(lo) + i * step
             chunk = updates.where(

@@ -220,30 +220,52 @@ def compact(
     in a later batch cannot resurrect the key. The compaction horizon is
     ``drop_tombstones_below_lsn``: once the caller knows no in-flight
     batch can carry an LSN below X (e.g. the replay low-water mark), pass
-    X to physically drop tombstones older than it."""
-    if buckets is None:
-        buckets = table.delta_partition_values()
-    else:
-        with_deltas = set(table.delta_partition_values())
-        buckets = [b for b in buckets if str(b) in with_deltas]
-    if not buckets:
-        return False
-    both = table.read_partitions(buckets, deltas="include", tombstones="include")
-    resolved = dedup_latest(both, keys, order, strategy="agg")
-    is_tomb = F.col("op").isNotNull() & (F.col("op") == "D")
-    if table.properties().get("retain_tombstones"):
-        if drop_tombstones_below_lsn is not None:
-            resolved = resolved.where(
-                ~is_tomb | (F.col(order[0]) >= F.lit(drop_tombstones_below_lsn))
-            )
-    else:
-        resolved = resolved.where(~is_tomb)
-    table.replace_partitions(
-        resolved,
-        summary={"operation_kind": "compaction", **(summary or {})},
-        partition_values=buckets,
+    X to physically drop tombstones older than it.
+
+    Safe under concurrent ingest: the replace validates that no writer
+    touched the compacted partitions between this function's read
+    snapshot and its commit (``expected_version``); on conflict it
+    re-reads the NEW state (picking up the freshly appended deltas) and
+    retries, bounded. Matches Iceberg's RewriteFiles validation + retry."""
+    from maritime_activity_reports_cdc_spark.sources.lake import (
+        _MAX_COMMIT_RETRIES,
+        CommitConflict,
     )
-    return True
+
+    requested = buckets
+    for attempt in range(_MAX_COMMIT_RETRIES + 1):
+        read_version = table.current_version()
+        with_deltas = set(table.delta_partition_values(read_version))
+        if requested is None:
+            buckets = sorted(with_deltas)
+        else:
+            buckets = [b for b in requested if str(b) in with_deltas]
+        if not buckets:
+            return False
+        both = table.read_partitions(
+            buckets, version=read_version, deltas="include", tombstones="include"
+        )
+        resolved = dedup_latest(both, keys, order, strategy="agg")
+        is_tomb = F.col("op").isNotNull() & (F.col("op") == "D")
+        if table.properties().get("retain_tombstones"):
+            if drop_tombstones_below_lsn is not None:
+                resolved = resolved.where(
+                    ~is_tomb | (F.col(order[0]) >= F.lit(drop_tombstones_below_lsn))
+                )
+        else:
+            resolved = resolved.where(~is_tomb)
+        try:
+            table.replace_partitions(
+                resolved,
+                summary={"operation_kind": "compaction", **(summary or {})},
+                partition_values=buckets,
+                expected_version=read_version,
+            )
+            return True
+        except CommitConflict:
+            if attempt == _MAX_COMMIT_RETRIES:
+                raise
+    raise AssertionError("unreachable")
 
 
 def rewrite_files(

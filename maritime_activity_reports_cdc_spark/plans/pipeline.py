@@ -177,6 +177,27 @@ class MedallionPipeline:
     async_derived: bool = False
     _flush_future: object = field(init=False, default=None)
     _flush_pool: object = field(init=False, default=None)
+    # Run layer compactions on a background driver thread, overlapped
+    # with subsequent epochs' ingest. Sound because commits are
+    # optimistically concurrent (sources/lake.py): the ingest path's
+    # delta APPENDS rebase through a racing compaction commit, and the
+    # compaction's REPLACE validates that nothing touched its partitions
+    # between read and commit — a mid-flight delta append makes it
+    # re-read (folding the new delta too) and retry, never clobber.
+    # Readers are snapshot-isolated (superseded files persist until
+    # expiry, which drains maintenance first). One in flight; failures
+    # surface at the next drain point. OFF by default (same least-
+    # surprise contract as async_derived); the bounded replayer enables
+    # both — compaction cost then hides behind ingest instead of
+    # stalling an epoch (the sparse-floor profile's single biggest
+    # non-compute wall chunk).
+    async_maintenance: bool = False
+    _maint_future: object = field(init=False, default=None)
+    _maint_pool: object = field(init=False, default=None)
+    # compactions requested during the CURRENT epoch (bronze + silver can
+    # both come due on the same epoch); submitted as ONE background task
+    # at the end of the epoch so they don't drain each other mid-epoch
+    _maint_requests: list = field(init=False, default_factory=list)
     # session shuffle width captured at the first adaptive epoch; the
     # relay re-asserts a per-epoch width (narrow for sparse epochs, the
     # default for dense) and restores the session default at finalize /
@@ -350,7 +371,9 @@ class MedallionPipeline:
             ):
                 from maritime_activity_reports_cdc_spark.operators.apply import compact
 
-                compact(self.bronze, summary={"epoch": epoch})
+                self._submit_maintenance(
+                    compact, self.bronze, summary={"epoch": epoch}
+                )
             return r
 
         # Affected-set for downstream incremental refresh, computed ONCE
@@ -478,10 +501,13 @@ class MedallionPipeline:
                 self._submit_flush(epoch, enriched_for_gold)
             t3 = time.monotonic()
             self._maybe_compact_layers(epoch)
+            self._dispatch_maintenance()
             if self.expire_keep_last is not None and not self._pending_derived:
-                # expiry DELETES superseded files — an in-flight flush has
-                # eagerly-resolved file lists pinned, so drain it first
+                # expiry DELETES superseded files — an in-flight flush or
+                # compaction has eagerly-resolved file lists pinned, so
+                # drain both first
                 self._wait_flush()
+                self._wait_maintenance()
                 for table in (self.bronze, self.silver, self.summary, self.daily,
                               self.conv_dates,
                               self.conv_master, self.lineage, self.metrics):
@@ -589,6 +615,45 @@ class MedallionPipeline:
         if self._flush_future is not None:
             fut, self._flush_future = self._flush_future, None
             fut.result()
+
+    def _wait_maintenance(self) -> None:
+        """Drain the in-flight background compaction; re-raises its
+        failure here."""
+        if self._maint_future is not None:
+            fut, self._maint_future = self._maint_future, None
+            fut.result()
+
+    def _submit_maintenance(self, fn, *args, **kwargs) -> None:
+        """Run a compaction inline, or queue it for this epoch's single
+        background maintenance task when ``async_maintenance`` (queued
+        requests dispatch together in ``_dispatch_maintenance`` so two
+        layers coming due on the same epoch don't drain each other
+        mid-epoch)."""
+        if not self.async_maintenance:
+            fn(*args, **kwargs)
+            return
+        self._maint_requests.append((fn, args, kwargs))
+
+    def _dispatch_maintenance(self) -> None:
+        """Submit this epoch's queued compactions as ONE background task
+        (the previous task is drained first — at most one maintenance
+        commit stream races ingest)."""
+        if not self._maint_requests:
+            return
+        requests, self._maint_requests = self._maint_requests, []
+        self._wait_maintenance()
+        if self._maint_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._maint_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="maintenance"
+            )
+
+        def _run_all():
+            for fn, args, kwargs in requests:
+                fn(*args, **kwargs)
+
+        self._maint_future = self._maint_pool.submit(_run_all)
 
     def _submit_flush(self, epoch: int, enriched_for_gold: DataFrame | None) -> None:
         """Dispatch the derived flush: background thread when
@@ -715,6 +780,8 @@ class MedallionPipeline:
         """Flush any pending derived refreshes (end of a bounded replay) —
         after this, gold state equals what per-epoch refresh would have
         produced."""
+        self._dispatch_maintenance()
+        self._wait_maintenance()
         self._wait_flush()
         if self._pending_derived:
             last_epoch = self._pending_derived[-1][0]
@@ -752,7 +819,8 @@ class MedallionPipeline:
             if self._compaction_due(self.silver, epoch):
                 # refresh generations are monotonic -> no out-of-order
                 # hazard at this layer; tombstones fold away entirely
-                compact(
+                self._submit_maintenance(
+                    compact,
                     self.silver, keys=("conv_id", "turn_idx"), order=("_gen",),
                     summary={"epoch": epoch},
                     drop_tombstones_below_lsn=epoch + 1,
@@ -780,6 +848,7 @@ class MedallionPipeline:
         from maritime_activity_reports_cdc_spark.operators.apply import compact
 
         self._wait_flush()
+        self._wait_maintenance()
 
         if self.bronze_mode == "mor":
             compact(self.bronze)

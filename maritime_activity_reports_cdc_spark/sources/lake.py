@@ -51,7 +51,41 @@ _SHADOW_PARTITION_COL = "__lake_part"
 
 
 class CommitConflict(RuntimeError):
-    """Another writer advanced the table between read and commit."""
+    """Another writer advanced the table between read and commit, and the
+    commit could not be safely rebased (see ``_rebase_ok``)."""
+
+
+# Optimistic-concurrency retry budget for manifest assembly (the data
+# files are written once; only the metadata rebase repeats).
+_MAX_COMMIT_RETRIES = 5
+
+
+def _rebase_ok(mode, base, current, new_files, extra_replaced) -> bool:
+    """Can a commit built against ``base`` land on ``current``?
+
+    - append / append_delta: pure additions — always rebase (Iceberg
+      fast-append semantics).
+    - overwrite: full-table last-writer-wins by contract.
+    - replace (compaction / CoW refresh): ONLY if every replaced
+      partition's base and delta file lists are unchanged between the
+      snapshot the caller READ and the current snapshot — a concurrent
+      delta append into a partition being compacted would otherwise be
+      silently clobbered (its rows folded nowhere). Matches Iceberg's
+      validateNoConflicting* checks on RewriteFiles.
+    """
+    if mode in ("append", "append_delta", "overwrite"):
+        return True
+    if mode == "replace":
+        replaced = set(new_files.keys())
+        if extra_replaced is not None:
+            replaced |= {_part_key(v) for v in extra_replaced}
+        for k in replaced:
+            if base.files.get(k, []) != current.files.get(k, []):
+                return False
+            if base.delta_files.get(k, []) != current.delta_files.get(k, []):
+                return False
+        return True
+    return False
 
 
 class EpochAlreadyApplied(RuntimeError):
@@ -355,8 +389,15 @@ class LakeTable:
         write_options: dict[str, str] | None = None,
         sort_within: tuple[str, ...] | None = None,
         properties_update: dict | None = None,
+        expected_version: int | None = None,
     ) -> Snapshot:
         """Atomic swap of exactly the partitions present in ``df``.
+
+        ``expected_version``: pass the snapshot version the replacement
+        rows were READ from — the commit then validates that no
+        concurrent writer touched the replaced partitions anywhere in
+        the read-to-commit window (raising :class:`CommitConflict`
+        instead of clobbering, e.g., a delta appended mid-compaction).
 
         ``partition_values`` may name partitions to drop even if the new
         frame has no rows for them (e.g. a bucket whose rows were all
@@ -377,6 +418,7 @@ class LakeTable:
             write_options=write_options,
             sort_within=sort_within,
             properties_update=properties_update,
+            expected_version=expected_version,
         )
 
     def append_deltas(
@@ -397,25 +439,33 @@ class LakeTable:
         )
 
     def commit_epoch_noop(self, source: str, epoch: int, summary: dict | None = None) -> Snapshot:
-        """Record an epoch with no data change (empty batch exactly-once)."""
-        parent = self.snapshot()
-        self._check_epoch(parent, source, epoch)
-        snap = Snapshot(
-            version=parent.version + 1,
-            parent=parent.version,
-            schema_json=parent.schema_json,
-            partition_by=parent.partition_by,
-            files=parent.files,
-            summary={"operation": "noop", **(summary or {})},
-            epochs={**parent.epochs, source: epoch},
-            properties=parent.properties,
-            file_stats=parent.file_stats,
-            delta_files=parent.delta_files,
-        )
-        self._write_snapshot(
-            snap, expected_parent=parent.version, touched=set(), parent_refs=parent.refs
-        )
-        return snap
+        """Record an epoch with no data change (empty batch exactly-once).
+        Metadata-only: a lost CAS race always rebases and retries."""
+        for attempt in range(_MAX_COMMIT_RETRIES + 1):
+            parent = self.snapshot()
+            self._check_epoch(parent, source, epoch)
+            snap = Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                schema_json=parent.schema_json,
+                partition_by=parent.partition_by,
+                files=parent.files,
+                summary={"operation": "noop", **(summary or {})},
+                epochs={**parent.epochs, source: epoch},
+                properties=parent.properties,
+                file_stats=parent.file_stats,
+                delta_files=parent.delta_files,
+            )
+            try:
+                self._write_snapshot(
+                    snap, expected_parent=parent.version, touched=set(),
+                    parent_refs=parent.refs,
+                )
+                return snap
+            except CommitConflict:
+                if attempt == _MAX_COMMIT_RETRIES:
+                    raise
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------------
     # maintenance: snapshot expiry + orphan cleanup
@@ -512,29 +562,37 @@ class LakeTable:
         both expose this). A value of None removes the key. Property
         changes that alter READ semantics (e.g. ``layer_mode``) are the
         caller's responsibility to apply only on states where the modes
-        agree (a delta-free table reads identically in cow/turn/auto)."""
-        parent = self.snapshot()
-        properties = {
-            **{k: v for k, v in parent.properties.items()
-               if updates.get(k, "") is not None},
-            **{k: v for k, v in updates.items() if v is not None},
-        }
-        snap = Snapshot(
-            version=parent.version + 1,
-            parent=parent.version,
-            schema_json=parent.schema_json,
-            partition_by=parent.partition_by,
-            files=parent.files,
-            summary={"operation": "set-properties", "keys": sorted(updates)},
-            epochs=parent.epochs,
-            properties=properties,
-            file_stats=parent.file_stats,
-            delta_files=parent.delta_files,
-        )
-        self._write_snapshot(
-            snap, expected_parent=parent.version, touched=set(), parent_refs=parent.refs
-        )
-        return snap
+        agree (a delta-free table reads identically in cow/turn/auto).
+        Metadata-only: a lost CAS race rebases and retries."""
+        for attempt in range(_MAX_COMMIT_RETRIES + 1):
+            parent = self.snapshot()
+            properties = {
+                **{k: v for k, v in parent.properties.items()
+                   if updates.get(k, "") is not None},
+                **{k: v for k, v in updates.items() if v is not None},
+            }
+            snap = Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                schema_json=parent.schema_json,
+                partition_by=parent.partition_by,
+                files=parent.files,
+                summary={"operation": "set-properties", "keys": sorted(updates)},
+                epochs=parent.epochs,
+                properties=properties,
+                file_stats=parent.file_stats,
+                delta_files=parent.delta_files,
+            )
+            try:
+                self._write_snapshot(
+                    snap, expected_parent=parent.version, touched=set(),
+                    parent_refs=parent.refs,
+                )
+                return snap
+            except CommitConflict:
+                if attempt == _MAX_COMMIT_RETRIES:
+                    raise
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------------
     # schema evolution (additive)
@@ -580,6 +638,7 @@ class LakeTable:
         write_options: dict[str, str] | None = None,
         sort_within: tuple[str, ...] | None = None,
         properties_update: dict | None = None,
+        expected_version: int | None = None,
     ) -> Snapshot:
         parent = self.snapshot()
         if epoch is not None:
@@ -652,70 +711,114 @@ class LakeTable:
         new_files = {k: v for k, v in new_files.items() if v}
         _prof_t1 = time.monotonic()
 
-        deltas = {k: list(v) for k, v in parent.delta_files.items()}
-        if mode == "append":
-            files = {k: list(v) for k, v in parent.files.items()}
-            for key, file_list in new_files.items():
-                files.setdefault(key, []).extend(file_list)
-            touched = set(new_files)
-        elif mode == "append_delta":
-            files = {k: list(v) for k, v in parent.files.items()}
-            for key, file_list in new_files.items():
-                deltas.setdefault(key, []).extend(file_list)
-                files.setdefault(key, [])  # partition becomes visible
-            touched = set(new_files)
-        elif mode == "overwrite":
-            files = new_files
-            deltas = {}
-            touched = set(new_files) | set(parent.files) | set(parent.delta_files)
-        elif mode == "replace":
-            replaced = set(new_files.keys())
-            if extra_replaced is not None:
-                replaced |= {_part_key(v) for v in extra_replaced}
-            files = {k: list(v) for k, v in parent.files.items() if k not in replaced}
-            files.update(new_files)
-            deltas = {k: v for k, v in deltas.items() if k not in replaced}
-            touched = replaced
-        else:  # pragma: no cover
-            raise ValueError(mode)
-
         # Per-file column bounds (Iceberg-manifest analog) from parquet
         # footers (metadata-only reads): small commits on the driver,
         # large ones as a distributed job so the commit path never
-        # becomes a driver file-loop bottleneck.
+        # becomes a driver file-loop bottleneck. Stats of the NEW files
+        # are parent-independent — computed once, reused across retries.
         stats_cols = properties.get("stats_cols") or []
-        file_stats = dict(parent.file_stats)
+        new_stats: dict[str, dict] = {}
         if stats_cols:
             new_rels = [rel for fl in new_files.values() for rel in fl]
-            file_stats.update(self._collect_stats(new_rels, stats_cols))
-        live = {f for fl in files.values() for f in fl}
-        live |= {f for fl in deltas.values() for f in fl}
-        file_stats = {f: st for f, st in file_stats.items() if f in live}
+            new_stats = self._collect_stats(new_rels, stats_cols)
         _prof_t2 = time.monotonic()
 
-        epochs = dict(parent.epochs)
-        if epoch is not None:
-            epochs[epoch[0]] = epoch[1]
-        snap = Snapshot(
-            version=parent.version + 1,
-            parent=parent.version,
-            schema_json=parent.schema_json,
-            partition_by=parent.partition_by,
-            files=files,
-            summary={"operation": mode, **(summary or {})},
-            epochs=epochs,
-            properties=properties,
-            file_stats=file_stats,
-            delta_files=deltas,
+        # Optimistic concurrency (Iceberg commit-retry analog): the data
+        # files are written exactly once; manifest assembly rebases onto
+        # the current snapshot and retries when another writer won the
+        # CAS — additive commits (append/append_delta) always rebase,
+        # overwrite is last-writer-wins by contract, and replace rebases
+        # only if _rebase_ok proves the replaced partitions untouched
+        # (a concurrent delta append into a partition being compacted
+        # must never be clobbered). Lets ingest and maintenance commit
+        # concurrently instead of serializing the relay on compaction.
+        attempts = 0
+        # ``expected_version``: the snapshot the CALLER's read plans were
+        # built against (a replace derives its rows from that state) —
+        # validation must span read-to-commit, not just commit-to-commit.
+        original_parent = (
+            self.snapshot(expected_version)
+            if expected_version is not None and expected_version != parent.version
+            else parent
         )
-        try:
-            self._write_snapshot(
-                snap, expected_parent=parent.version,
-                touched=touched, parent_refs=parent.refs,
-            )
-        except CommitConflict:
+        if original_parent.version != parent.version and not _rebase_ok(
+            mode, original_parent, parent, new_files, extra_replaced
+        ):
             shutil.rmtree(commit_abs, ignore_errors=True)
-            raise
+            raise CommitConflict(
+                f"table advanced v{original_parent.version} -> v{parent.version} "
+                f"since the caller's read and a replaced partition changed"
+            )
+        while True:
+            if epoch is not None:
+                try:
+                    self._check_epoch(parent, epoch[0], epoch[1])
+                except EpochAlreadyApplied:
+                    shutil.rmtree(commit_abs, ignore_errors=True)
+                    raise
+            deltas = {k: list(v) for k, v in parent.delta_files.items()}
+            if mode == "append":
+                files = {k: list(v) for k, v in parent.files.items()}
+                for key, file_list in new_files.items():
+                    files.setdefault(key, []).extend(file_list)
+                touched = set(new_files)
+            elif mode == "append_delta":
+                files = {k: list(v) for k, v in parent.files.items()}
+                for key, file_list in new_files.items():
+                    deltas.setdefault(key, []).extend(file_list)
+                    files.setdefault(key, [])  # partition becomes visible
+                touched = set(new_files)
+            elif mode == "overwrite":
+                files = new_files
+                deltas = {}
+                touched = set(new_files) | set(parent.files) | set(parent.delta_files)
+            elif mode == "replace":
+                replaced = set(new_files.keys())
+                if extra_replaced is not None:
+                    replaced |= {_part_key(v) for v in extra_replaced}
+                files = {k: list(v) for k, v in parent.files.items() if k not in replaced}
+                files.update(new_files)
+                deltas = {k: v for k, v in deltas.items() if k not in replaced}
+                touched = replaced
+            else:  # pragma: no cover
+                raise ValueError(mode)
+
+            file_stats = dict(parent.file_stats)
+            file_stats.update(new_stats)
+            live = {f for fl in files.values() for f in fl}
+            live |= {f for fl in deltas.values() for f in fl}
+            file_stats = {f: st for f, st in file_stats.items() if f in live}
+
+            epochs = dict(parent.epochs)
+            if epoch is not None:
+                epochs[epoch[0]] = epoch[1]
+            snap = Snapshot(
+                version=parent.version + 1,
+                parent=parent.version,
+                schema_json=parent.schema_json,
+                partition_by=parent.partition_by,
+                files=files,
+                summary={"operation": mode, **(summary or {})},
+                epochs=epochs,
+                properties={**parent.properties, **(properties_update or {})},
+                file_stats=file_stats,
+                delta_files=deltas,
+            )
+            try:
+                self._write_snapshot(
+                    snap, expected_parent=parent.version,
+                    touched=touched, parent_refs=parent.refs,
+                )
+                break
+            except CommitConflict:
+                attempts += 1
+                current = self.snapshot()
+                if attempts > _MAX_COMMIT_RETRIES or not _rebase_ok(
+                    mode, original_parent, current, new_files, extra_replaced
+                ):
+                    shutil.rmtree(commit_abs, ignore_errors=True)
+                    raise
+                parent = current
         # Per-phase commit profile (diagnostics only; read by
         # BENCH/floor_profile.py for the per-epoch serial breakdown):
         # write = the Spark job, stats = footer bounds, manifest = JSON IO.

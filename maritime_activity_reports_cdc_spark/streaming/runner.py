@@ -173,7 +173,12 @@ class CheckpointedReplayer:
         # the derived flush runs on a background thread here, hidden
         # behind the next epoch's bronze/silver work.
         prior_async = self.pipeline.async_derived
+        prior_maint = self.pipeline.async_maintenance
         self.pipeline.async_derived = True
+        # compaction overlaps ingest too (optimistic commits make the
+        # race safe — see MedallionPipeline.async_maintenance); finalize
+        # below is the drain point
+        self.pipeline.async_maintenance = True
         try:
             skip_count = self._replay_epochs(
                 changes, lo, span, step, state, prechunk, chunk_dir,
@@ -189,9 +194,14 @@ class CheckpointedReplayer:
                 self.pipeline._wait_flush()
             except Exception:  # noqa: BLE001
                 pass
+            try:
+                self.pipeline._wait_maintenance()
+            except Exception:  # noqa: BLE001
+                pass
             raise
         finally:
             self.pipeline.async_derived = prior_async
+            self.pipeline.async_maintenance = prior_maint
         run_count = len(metrics)
         events = sum(m.n_keys for m in metrics)
         # bounded replay epilogue: flush any pending derived refreshes
