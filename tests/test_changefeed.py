@@ -579,3 +579,47 @@ def test_feed_relay_chains_two_hops_with_crashes(spark, tmp_path):
         assert got == want
     for chunk in chunks:
         chunk.unpersist()
+
+
+def test_feed_relay_propagates_schema_evolution(spark, tmp_path):
+    """Additive schema evolution flows THROUGH the feed topology: the
+    upstream table evolves (new 'lang' column), the relayed batch carries
+    it, and the downstream lake evolves automatically — old downstream
+    rows null-backfill, new rows carry values (reference P9/S6 composed
+    with the CDF hop)."""
+    from maritime_activity_reports_cdc_spark.plans.pipeline import MedallionPipeline
+    from maritime_activity_reports_cdc_spark.sources.generator import (
+        generate_evolved_changes,
+    )
+    from maritime_activity_reports_cdc_spark.streaming.feedrelay import FeedRelay
+
+    up = bronze.create_transcripts_table(
+        spark, str(tmp_path / "up"), n_buckets=2, apply_mode="cow"
+    )
+    down = MedallionPipeline.create(spark, str(tmp_path / "down"), n_buckets=2)
+    relay = FeedRelay(up, down, str(tmp_path / "ck"))
+
+    bronze.apply_transcript_batch(up, _epoch0(spark), epoch=0)
+    assert relay.run_once() is not None
+    assert "lang" not in down.bronze.schema().fieldNames()
+
+    ev, _ = generate_evolved_changes(spark, n_conversations=4, turns_per_conv=2, seed=5)
+    bronze.apply_transcript_batch(up, ev, epoch=1)
+    assert relay.run_once() is not None
+
+    assert "lang" in down.bronze.schema().fieldNames()
+    got = {
+        (r.conv_id, r.turn_idx): r.lang
+        for r in bronze.read_transcripts(down.bronze)
+        .select("conv_id", "turn_idx", "lang").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.lang
+        for r in bronze.read_transcripts(up)
+        .select("conv_id", "turn_idx", "lang").collect()
+    }
+    assert got == want  # evolved values survive the hop exactly
+    assert any(v is not None for v in want.values())  # evolution is real
+    assert all(
+        got[(c, t)] is None for (c, t) in got if c in ("c1", "c9")
+    )  # pre-evolution rows null-backfill
