@@ -293,7 +293,10 @@ def cmd_relay(args) -> dict:
     spark = _spark(args)
     upstream = LakeTable.load(spark, args.upstream)
     down = MedallionPipeline.load(spark, args.root)
-    relay = FeedRelay(upstream, down, args.checkpoint)
+    relay = FeedRelay(
+        upstream, down, args.checkpoint,
+        bootstrap_on_expiry=getattr(args, "bootstrap_on_expiry", False),
+    )
     out = relay.run(
         poll_secs=args.poll_secs,
         max_polls=args.max_polls,
@@ -357,6 +360,12 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--poll-secs", type=float, default=2.0)
     rl.add_argument("--max-polls", type=int, default=None)
     rl.add_argument("--max-idle-polls", type=int, default=3)
+    rl.add_argument(
+        "--bootstrap-on-expiry", action="store_true",
+        help="self-heal when upstream retention expired past the acked "
+             "offset: re-baseline from a full upstream snapshot "
+             "(O(table)) instead of failing",
+    )
 
     cg = sub.add_parser(
         "changes", help="change-data-feed export (Delta table_changes analog)"
