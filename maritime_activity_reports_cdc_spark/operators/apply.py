@@ -108,6 +108,46 @@ def dedup_latest(
     raise ValueError(f"unknown dedup strategy {strategy!r}")
 
 
+def dedup_latest_bucketed(
+    changes: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    order: tuple[str, ...] = DEFAULT_ORDER,
+    bucket_col: str = BUCKET_COL,
+) -> DataFrame:
+    """One winner per key in total change order, computed inside a single
+    BUCKET-partitioned window pass — the exchange-sharing form of
+    ``dedup_latest`` (guide §2.4: two operations keyed the same way can
+    share one exchange).
+
+    ``dedup_latest``'s hash-agg shuffles by the KEY; a downstream
+    bucket-partitioned write (or bucket-keyed window) then shuffles the
+    same fat rows a SECOND time. Here the one exchange is on the table's
+    own partition column: rows sort within each bucket by (keys, order)
+    and the winner is the last row of each key group, so the write (and
+    silver's bucket-keyed enrichment window) reuse the exchange — fat
+    rows cross the wire once per epoch instead of twice.
+
+    Semantics match ``dedup_latest``: the max-(order) row per key wins;
+    ties on the order columns are exact duplicates in this change-log
+    model (at-least-once redelivery), so either copy is the same winner.
+    Skew bound: rows-per-window-task is one bucket — identical to the
+    storage layout's own bound (and to silver's enrichment window). For
+    feeds where a single key can carry unbounded duplicate changes,
+    ``dedup_latest``'s map-side-combining agg remains the safer shape.
+
+    Hot path: SQL-string expressions (one py4j round-trip, see
+    ``dedup_latest``); requires ``bucket_col`` to already be present.
+    """
+    ords = ", ".join(f"`{c}`" for c in (*keys, *order))
+    key_struct = "struct(" + ", ".join(f"`{k}`" for k in keys) + ")"
+    over = f"OVER (PARTITION BY `{bucket_col}` ORDER BY {ords})"
+    marked = changes.selectExpr(
+        "*",
+        f"(lead({key_struct}) {over}) IS DISTINCT FROM {key_struct} AS _is_winner",
+    )
+    return marked.where("_is_winner").drop("_is_winner")
+
+
 @dataclass
 class ApplyResult:
     epoch: int
@@ -245,7 +285,15 @@ def compact(
         both = table.read_partitions(
             buckets, version=read_version, deltas="include", tombstones="include"
         )
-        resolved = dedup_latest(both, keys, order, strategy="agg")
+        # Dedup inside the bucket-partitioned window so the partitioned
+        # replace below reuses the one exchange (guide §2.4) — compaction
+        # folds the whole bucket either way, and the bucket is the same
+        # per-task bound the storage layout already imposes.
+        part_col = table.snapshot(read_version).partition_by
+        if part_col is not None:
+            resolved = dedup_latest_bucketed(both, keys, order, bucket_col=part_col)
+        else:
+            resolved = dedup_latest(both, keys, order, strategy="agg")
         is_tomb = F.col("op").isNotNull() & (F.col("op") == "D")
         if table.properties().get("retain_tombstones"):
             if drop_tombstones_below_lsn is not None:
@@ -260,6 +308,7 @@ def compact(
                 summary={"operation_kind": "compaction", **(summary or {})},
                 partition_values=buckets,
                 expected_version=read_version,
+                pre_partitioned=part_col is not None,
             )
             return True
         except CommitConflict:
@@ -319,9 +368,17 @@ def rewrite_files(
     has_deltas = any(
         table.snapshot().delta_files.get(str(v)) for v in values
     )
+    fused_part_col = table.snapshot().partition_by
     df = table.read_partitions(values, deltas="include", tombstones="include")
     if has_deltas:
-        df = dedup_latest(df, DEFAULT_KEYS, order, strategy="agg")
+        # bucket-partitioned window dedup: the rewrite's own partition
+        # exchange doubles as the dedup exchange (guide §2.4)
+        if fused_part_col is not None:
+            df = dedup_latest_bucketed(
+                df, DEFAULT_KEYS, order, bucket_col=fused_part_col
+            )
+        else:
+            df = dedup_latest(df, DEFAULT_KEYS, order, strategy="agg")
         if not table.properties().get("retain_tombstones"):
             df = df.where(F.col("op").isNull() | (F.col("op") != "D"))
     if drop_tombstones_below_lsn is not None and "op" in df.columns:
@@ -348,10 +405,11 @@ def rewrite_files(
         ranges = {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in zorder}
         zcluster = {"zorder": list(zorder), "bits": bits, "ranges": ranges}
         zcol = zorder_column(dtypes, list(zorder), ranges, bits)
-    part_col = table.snapshot().partition_by
-    if part_col is not None:
+    part_col = fused_part_col
+    if part_col is not None and not has_deltas:
+        # the fused dedup above already established the partitioning
         df = df.repartition(F.col(part_col))
-    elif zorder:
+    elif part_col is None and zorder:
         # global z clustering across files at full parallelism: range
         # exchange on the z key, then the commit's sortWithinPartitions
         # (from the clustering property) orders within each range
@@ -429,8 +487,19 @@ def apply_changes(
     target_schema = table.schema()
     target_cols = [f.name for f in target_schema.fields]
 
-    winners = dedup_latest(changes, keys, order, strategy=dedup_strategy)
-    winners = winners.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets))
+    # MoR dedups INSIDE the bucket-partitioned window (one exchange,
+    # reused by the partitioned delta write below — guide §2.4); the CoW
+    # branch keeps the map-side-combining agg (its full-outer merge join
+    # re-shuffles by key anyway, so there is no exchange to share).
+    mor_fused = apply_mode == "mor" and dedup_strategy == "agg"
+    if mor_fused:
+        winners = dedup_latest_bucketed(
+            changes.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets)),
+            keys, order,
+        )
+    else:
+        winners = dedup_latest(changes, keys, order, strategy=dedup_strategy)
+        winners = winners.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets))
     # Normalize tombstones: null the row image of D winners (keys, order
     # and envelope stay). When the table declares a `mor_tombstone_col`
     # that is non-null for every I/U row (the property's contract), the
@@ -474,6 +543,9 @@ def apply_changes(
                 winners.select(*target_cols),
                 summary={"source": source},
                 epoch=(source, epoch),
+                # fused path: winners came through the bucket-keyed window
+                # exchange, so the write skips its defensive repartition
+                pre_partitioned=mor_fused,
             )
         except EpochAlreadyApplied:
             return ApplyResult(epoch, False, None, None, None, 0, 0, 0, [], [])

@@ -110,7 +110,8 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct n-word shingles as (id, _s) rows.
 
@@ -118,7 +119,13 @@ def shingle_table(
     every operator stays inside whole-stage codegen and cost is O(tokens)
     — measured ~10x faster than the transform/slice formulation on the
     same corpus. The window partitions by document, so parallelism is
-    document-granular (documents are small; no skew concern)."""
+    document-granular (documents are small; no skew concern).
+
+    ``distinct=False`` skips the (_id, _s) dedup shuffle for consumers
+    whose downstream aggregate is multiplicity-invariant (min-hashing:
+    min over a multiset equals min over its set) — the frame stays
+    hash-partitioned by ``_id`` from the window, so a following
+    ``groupBy(_id)`` reuses the exchange (guide §2.4)."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -130,7 +137,8 @@ def shingle_table(
     shingled = toks.select(
         "_id", F.concat_ws(" ", *parts).alias("_s"), parts[-1].isNotNull().alias("_full")
     )
-    return shingled.where("_full").select("_id", "_s").distinct()
+    out = shingled.where("_full").select("_id", "_s")
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -151,9 +159,14 @@ def minhash_signatures(
     shingle array per seed: measured ~500x slower.)
     """
     # hash the shingle string ONCE, then derive the n permutations from
-    # the base value — string hashing is the dominant cost
+    # the base value — string hashing is the dominant cost.
+    # distinct=False: min() is multiplicity-invariant, so the (_id, _s)
+    # dedup shuffle is pure overhead here — dropping it removes a whole
+    # exchange AND lets the groupBy below reuse the shingle window's
+    # hash-partitioning by _id (plan: ONE exchange end-to-end instead of
+    # three; results bit-identical).
     H = _hasher(hash_fn)
-    ex = shingle_table(df, id_col, text_col, shingle_n).select(
+    ex = shingle_table(df, id_col, text_col, shingle_n, distinct=False).select(
         "_id", H(F.col("_s")).alias("_h")
     )
     if hash_fn == "md5_48":

@@ -246,12 +246,13 @@ def refresh_daily_via_index(
     # from the snapshot, zero jobs.
     covers_all = affected.dense and len(affected.buckets) >= n_buckets
     if covers_all:
+        # vacated months come from the index snapshot (driver-side);
+        # the months the batch INTRODUCES are derived from the fresh
+        # index rows themselves below (they are computed and cached for
+        # the write anyway) — re-scanning the change batches for their
+        # ts dates here was a full extra pass over each pending chunk.
         months_set = set(index_table.snapshot().files)
-        if batch_dates is not None:
-            months_set.update(
-                r[0]
-                for r in batch_dates.select(_month("business_date")).distinct().collect()
-            )
+        batch_dates = None
     else:
         vacated = _restrict_to_affected(
             index_table.read().select("conv_id", "business_month"), affected, n_buckets
@@ -278,7 +279,7 @@ def refresh_daily_via_index(
         if isnap.epochs.get(index_source) == epoch and "months" in isnap.summary:
             months = sorted(set(months) | set(isnap.summary["months"]))
 
-    if not months:
+    if not months and not covers_all:
         if index_table.last_epoch(index_source) < epoch:
             index_table.commit_epoch_noop(index_source, epoch, {"rows": 0})
         daily_table.commit_epoch_noop(source, epoch, {"rows": 0})
@@ -295,27 +296,40 @@ def refresh_daily_via_index(
             )
             enriched = affected.semi(silver_slice)
         fresh = conv_date_activity(enriched).select(*cols)
-        if batch_dates is None:
-            # without the batch's ts dates the months-covered invariant
-            # (fresh months ⊆ vacated ∪ batch months) doesn't hold for
-            # fresh inserts — derive the missing months from fresh
-            # itself so no fresh row lands outside a replaced partition
+        if covers_all:
+            # persist FIRST so the month discovery materializes the
+            # cache the write then reads — the agg runs once, not twice
+            merged = fresh.persist()
             extra = {
-                r[0] for r in fresh.select("business_month").distinct().collect()
+                r[0] for r in merged.select("business_month").distinct().collect()
             } - set(months)
             if extra:
                 months = sorted(set(months) | extra)
-        if covers_all:
-            merged = fresh
+            if not months:
+                merged.unpersist()
+                index_table.commit_epoch_noop(index_source, epoch, {"rows": 0})
+                daily_table.commit_epoch_noop(source, epoch, {"rows": 0})
+                return True
         else:
+            if batch_dates is None:
+                # without the batch's ts dates the months-covered
+                # invariant (fresh months ⊆ vacated ∪ batch months)
+                # doesn't hold for fresh inserts — derive the missing
+                # months from fresh itself so no fresh row lands outside
+                # a replaced partition (survivors depend on the final
+                # month set, so this must run before building merged)
+                extra = {
+                    r[0] for r in fresh.select("business_month").distinct().collect()
+                } - set(months)
+                if extra:
+                    months = sorted(set(months) | extra)
             survivors = _restrict_to_affected(
                 index_table.read_partitions(months), affected, n_buckets, negate=True
             )
-            merged = survivors.select(*cols).unionByName(fresh)
-        # small frame (one row per affected conv×date): persist so the
-        # daily rollup folds the SAME rows without re-reading the
-        # just-committed partitions (or recomputing the silver agg)
-        merged = merged.persist()
+            # small frame (one row per affected conv×date): persist so
+            # the daily rollup folds the SAME rows without re-reading
+            # the just-committed partitions (or the silver agg)
+            merged = survivors.select(*cols).unionByName(fresh).persist()
         index_table.replace_partitions(
             # months recorded so a same-process retry (crash between the
             # two commits) can replay the exact replaced set — see above

@@ -194,6 +194,15 @@ class MedallionPipeline:
     async_maintenance: bool = False
     _maint_future: object = field(init=False, default=None)
     _maint_pool: object = field(init=False, default=None)
+    # Background compactions run on a CLONED SparkSession (same context,
+    # separate SQLConf) with the shuffle width pinned to the session
+    # default and AQE on: the relay narrows the MAIN session's width per
+    # sparse epoch (and disables AQE inside apply_epoch), and SQLConf is
+    # session-global — without the clone a whole-table compaction
+    # planned mid-sparse-epoch inherits a tiny shuffle width (and the
+    # two threads race on set/restore). Perf isolation only; commits
+    # stay safe via the optimistic-concurrency protocol either way.
+    _maint_session: object = field(init=False, default=None)
     # compactions requested during the CURRENT epoch (bronze + silver can
     # both come due on the same epoch); submitted as ONE background task
     # at the end of the epoch so they don't drain each other mid-epoch
@@ -252,6 +261,10 @@ class MedallionPipeline:
         )
         p.lineage = LakeTable.create(spark, p._p("_lineage"), LINEAGE_SCHEMA, properties={})
         p.metrics = LakeTable.create(spark, p._p("_metrics"), METRICS_SCHEMA, properties={})
+        # session shuffle width BEFORE any per-epoch narrowing: the value
+        # restore/finalize return to, and the width the maintenance
+        # session clone pins (ADVICE r5 #3)
+        p._session_shuffle_default = spark.conf.get("spark.sql.shuffle.partitions", "200")
         return p
 
     @classmethod
@@ -283,6 +296,7 @@ class MedallionPipeline:
             p.conv_master = LakeTable.load(spark, p._p("silver_conv_master"))
         p.lineage = LakeTable.load(spark, p._p("_lineage"))
         p.metrics = LakeTable.load(spark, p._p("_metrics"))
+        p._session_shuffle_default = spark.conf.get("spark.sql.shuffle.partitions", "200")
         silver_mark = p.silver.last_epoch("silver_refresh")
         for table, source in ((p.summary, "gold_summary"), (p.daily, "gold_daily")):
             if table is not None and table.last_epoch(source) < silver_mark:
@@ -501,11 +515,15 @@ class MedallionPipeline:
                 self._submit_flush(epoch, enriched_for_gold)
             t3 = time.monotonic()
             self._maybe_compact_layers(epoch)
-            self._dispatch_maintenance()
             if self.expire_keep_last is not None and not self._pending_derived:
                 # expiry DELETES superseded files — an in-flight flush or
                 # compaction has eagerly-resolved file lists pinned, so
-                # drain both first
+                # drain both first. Runs BEFORE dispatching THIS epoch's
+                # queued maintenance: draining here only waits on the
+                # PREVIOUS epoch's task (usually long done), so expiry no
+                # longer swallows the ingest overlap async_maintenance
+                # buys (the queued compactions read their inputs at
+                # dispatch time, after the deletes — safe).
                 self._wait_flush()
                 self._wait_maintenance()
                 for table in (self.bronze, self.silver, self.summary, self.daily,
@@ -513,6 +531,7 @@ class MedallionPipeline:
                               self.conv_master, self.lineage, self.metrics):
                     if table is not None:
                         table.expire_snapshots(keep_last=self.expire_keep_last)
+            self._dispatch_maintenance()
         finally:
             if enriched is not None and self.summary is not None and self.persist_enriched:
                 enriched.unpersist()
@@ -648,10 +667,28 @@ class MedallionPipeline:
             self._maint_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="maintenance"
             )
+        if self._maint_session is None:
+            self._maint_session = self.spark.newSession()
+            # pin production width + AQE for compaction jobs (see the
+            # _maint_session field note); the clone never sees the
+            # relay's per-epoch narrowing
+            width = self._session_shuffle_default or self.spark.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
+            self._maint_session.conf.set("spark.sql.shuffle.partitions", width)
+            self._maint_session.conf.set("spark.sql.adaptive.enabled", "true")
+
+        def _rebind(obj):
+            # compaction args reference LakeTables bound to the relay's
+            # session; rebind them to the clone so their read/write jobs
+            # plan under the pinned conf
+            if isinstance(obj, LakeTable):
+                return LakeTable(self._maint_session, obj.path)
+            return obj
 
         def _run_all():
             for fn, args, kwargs in requests:
-                fn(*args, **kwargs)
+                fn(*[_rebind(a) for a in args], **kwargs)
 
         self._maint_future = self._maint_pool.submit(_run_all)
 
@@ -742,6 +779,16 @@ class MedallionPipeline:
                 and self.daily is not None
                 and self.conv_dates is not None
                 and affected.buckets
+                # Cache ONLY when the slice is a real MoR resolve over a
+                # key-restricted set (non-dense turn/auto): there the
+                # semi-join + dedup is worth computing once for both
+                # consumers. A DENSE slice is a plain column-pruned base
+                # scan — materializing it as a deserialized cache costs
+                # more (heap churn + GC at 10^7 rows) than letting each
+                # consumer re-read the thin parquet columns (measured
+                # ~11 s -> ~6 s on the 10M-row load flush).
+                and not affected.dense
+                and self.silver.properties().get("layer_mode") in ("turn", "auto")
             ):
                 # Both gold consumers need the affected conversations'
                 # post-refresh silver rows. Resolve the THIN slice once

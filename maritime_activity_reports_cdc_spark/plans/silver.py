@@ -379,7 +379,7 @@ def build_enriched(
     from maritime_activity_reports_cdc_spark.operators.apply import (
         BUCKET_COL as _BK,
         bucket_expr,
-        dedup_latest,
+        dedup_latest_bucketed,
         read_merged,
     )
 
@@ -392,22 +392,44 @@ def build_enriched(
             bounds=None if affected.dense else affected.prune(),
             deltas="include", tombstones="include",
         )
-        winners = dedup_latest(overlay_batch).withColumn(
+        batch_side = overlay_batch.withColumn(
             _BK, bucket_expr("conv_id", n_buckets)
         )
+        # The affected-conversation restriction is applied to the raw
+        # side EXPLICITLY, before the dedup: the optimizer can push a
+        # left-semi below a hash-agg whose grouping keys cover the join
+        # key, but NOT below a window partitioned by a different column
+        # — without this, the fused plan below would shuffle the whole
+        # pruned slice instead of the affected conversations' rows.
+        # Commutes with the dedup (the filter is conversation-granular,
+        # dedup is per-(conv, turn) — batch rows are all affected by
+        # construction). No-op in dense mode, where the whole bucket
+        # really is recomputed.
+        raw = affected.semi(raw)
+        # ONE bucket-partitioned window pass dedups raw ∪ batch (max-by
+        # dedup is associative, so pre-deduping the batch separately —
+        # the old plan — only added an extra key-shuffle of the fat
+        # rows; guide §2.4). The window's bucket exchange is then
+        # REUSED by the enrichment window below AND the partitioned
+        # write: the fat rows cross the wire exactly once per refresh
+        # (previously three exchanges: batch dedup, union dedup, bucket
+        # window).
         # allowMissingColumns: either side may carry columns the other
         # lacks (a batch introducing evolved columns, or table columns
         # an older batch predates) — null-fill both ways so evolved
         # values survive the overlay
-        bronze_slice = dedup_latest(
-            raw.unionByName(winners, allowMissingColumns=True)
+        bronze_slice = dedup_latest_bucketed(
+            raw.unionByName(batch_side, allowMissingColumns=True)
         ).where(F.col("op").isNull() | (F.col("op") != "D"))
     else:
         bronze_slice = read_merged(
             bronze_table, affected.buckets,
             bounds=None if affected.dense else affected.prune(),
         )
-    convs = affected.semi(bronze_slice)
+        bronze_slice = affected.semi(bronze_slice)
+    # (overlay path: the semi restriction is already applied above the
+    # scan — re-applying it here would just build the broadcast twice)
+    convs = bronze_slice
     if mega_conv_chunk:
         enriched = enrich_conversations_chunked(convs, chunk_size=mega_conv_chunk)
         enriched = enriched.repartition(F.col(BUCKET_COL))
@@ -454,7 +476,9 @@ def refresh_silver_turn(
     """
     from maritime_activity_reports_cdc_spark.operators import mor
     from maritime_activity_reports_cdc_spark.operators.apply import (
+        bucket_expr,
         dedup_latest,
+        dedup_latest_bucketed,
         read_merged,
     )
 
@@ -511,8 +535,16 @@ def refresh_silver_turn(
                 deltas="include", tombstones="include",
             ).select(*thin_cols)
         )
+        # Dedup inside a conv_id-partitioned window (guide §2.4): the
+        # lag() pass below partitions by conv_id too, so the one
+        # exchange serves both — previously the key-hash dedup exchange
+        # was immediately followed by a second conv_id exchange for the
+        # window. Per-window-group stays one conversation, exactly the
+        # bound the lag window already imposes.
         thin = (
-            dedup_latest(pre.unionByName(winners.select(*thin_cols)))
+            dedup_latest_bucketed(
+                pre.unionByName(winners.select(*thin_cols)), bucket_col="conv_id"
+            )
             .where("op IS NULL OR op != 'D'")
         )
     else:
@@ -556,11 +588,20 @@ def refresh_silver_turn(
     # 3. fat row images: changed turns from the batch itself (from the
     # cached winners on small batches, re-deduped uncached on large —
     # see above); successors from current silver (their text is
-    # unchanged by definition)
+    # unchanged by definition). On large batches the fat dedup runs
+    # inside the BUCKET-partitioned window (guide §2.4), so the delta
+    # append below reuses that one exchange instead of re-shuffling the
+    # fat rows a second time for the partitioned write.
     image_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
                   "op", "lsn", "op_ordinal", "commit_ts"]
-    fat_winners = winners if small_batch else dedup_latest(batch)
-    upserts = fat_winners.where("op != 'D'").select(*image_cols)
+    _bk_sql = f"CAST(pmod(xxhash64(conv_id), {int(n_buckets)}) AS INT) AS {BUCKET_COL}"
+    if small_batch:
+        upserts = winners.where("op != 'D'").selectExpr(*image_cols, _bk_sql)
+    else:
+        fat_winners = dedup_latest_bucketed(
+            batch.withColumn(BUCKET_COL, bucket_expr("conv_id", n_buckets))
+        )
+        upserts = fat_winners.where("op != 'D'").select(*image_cols, BUCKET_COL)
     succ_keys = affected_turns.select("conv_id", "turn_idx").join(
         winners.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
     )
@@ -571,15 +612,18 @@ def refresh_silver_turn(
     # fused base∪delta read: bounds pruning keeps every file whose range
     # intersects the affected conversations — successors are turns OF
     # affected conversations, so no needed base or delta file is pruned.
+    # The resolve is bucket-windowed for the same exchange-sharing
+    # reason as the upsert side (successor rows stay bucket-clustered
+    # into the write).
     skeys = ["conv_id", "turn_idx"]
     s_all = silver_table.read_partitions(
         affected.buckets, bounds=affected.prune(), deltas="include",
         tombstones="include",
     ).join(F.broadcast(succ_keys), skeys, "left_semi")
     successors = (
-        dedup_latest(s_all, ("conv_id", "turn_idx"), ("_gen",))
+        dedup_latest_bucketed(s_all, ("conv_id", "turn_idx"), ("_gen",))
         .where("op IS NULL OR op != 'D'")
-        .select(*image_cols)
+        .select(*image_cols, BUCKET_COL)
     )
     fat = upserts.unionByName(successors)
 
@@ -590,9 +634,14 @@ def refresh_silver_turn(
     # of serial driver time per epoch. Every expression is the exact SQL
     # form of enrich_conversations + quality_exprs (D-suffixed double
     # literals keep the arithmetic types identical).
-    rows = fat.join(affected_turns, ["conv_id", "turn_idx"], "inner")
+    # affected_turns is BROADCAST explicitly: it is O(epoch keys) — the
+    # same scale class as the bk broadcast above — and without the hint
+    # the static planner (AQE is off in the relay) falls back to a
+    # sort-merge join that re-shuffles the fat rows by key.
+    rows = fat.join(F.broadcast(affected_turns), ["conv_id", "turn_idx"], "inner")
     enriched = rows.selectExpr(
         *image_cols,
+        f"`{BUCKET_COL}`",
         _TEXT_LEN_SQL,
         _N_TOKENS_SQL,
         _TEXT_FP_SQL,
@@ -605,7 +654,6 @@ def refresh_silver_turn(
     ).selectExpr(
         "*",
         _CATEGORY_SQL,
-        f"CAST(pmod(xxhash64(conv_id), {int(n_buckets)}) AS INT) AS {BUCKET_COL}",
     )
     tombs = winners.where("op = 'D'").selectExpr(
         "conv_id", "turn_idx", "op", "lsn", "op_ordinal", "commit_ts",
@@ -628,11 +676,23 @@ def refresh_silver_turn(
             ]
         )
 
+    if not small_batch:
+        # big-batch fat rows are already bucket-clustered (fused dedup +
+        # broadcast join preserve the exchange); cluster the (tiny) D
+        # tombstone side too so the union stays partition-pure and the
+        # write skips its defensive repartition of the fat rows. Small
+        # batches keep the writer's repartition: their fat side is
+        # key-partitioned off the cached winners, and a narrow epoch's
+        # write is cheap anyway.
+        tombs = tombs.repartition(F.col(BUCKET_COL))
     delta = mor.stamp_generation(
         _align(enriched).unionByName(_align(tombs)), epoch, rank=1
     ).select(*cols)
     try:
-        silver_table.append_deltas(delta, summary={"source": source}, epoch=(source, epoch))
+        silver_table.append_deltas(
+            delta, summary={"source": source}, epoch=(source, epoch),
+            pre_partitioned=not small_batch,
+        )
     finally:
         winners.unpersist()
         affected_turns.unpersist()
