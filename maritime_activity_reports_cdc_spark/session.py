@@ -70,7 +70,26 @@ def get_spark(
             "spark.sql.sources.parallelPartitionDiscovery.threshold",
             os.environ.get("SPARK_GRAFT_DISCOVERY_THRESHOLD", "65536"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Dynamic-partitioned writes: stream rows to one open writer per
+        # partition value instead of sorting every task's rows by the
+        # partition column first (spark.sql.maxConcurrentOutputFileWriters
+        # > 0 skips FileFormatWriter's required-ordering sort until a task
+        # exceeds the writer cap). Two effects on the relay hot path:
+        # every partitioned commit drops a full per-task sort, and the
+        # fused dedup-in-write stages no longer hold TWO full-partition
+        # sorters alive at once (window sort + writer sort) — the peak
+        # that could exhaust execution memory under concurrent
+        # overlap/flush jobs. Tasks see at most a handful of bucket/month
+        # values post-exchange, far under the cap; pathological writers
+        # fall back to the sort automatically.
+        .config(
+            "spark.sql.maxConcurrentOutputFileWriters",
+            os.environ.get("SPARK_GRAFT_CONCURRENT_WRITERS", "64"),
+        )
+        # Sized to cores x per-task sort working set (guide §5): 32 local
+        # cores of fat-row sort/window tasks need real execution-memory
+        # headroom once ingest, derived flushes and compaction overlap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
